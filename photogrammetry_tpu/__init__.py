@@ -1,0 +1,23 @@
+"""photogrammetry_tpu — a TPU-native structure-from-motion / SLAM framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+Takatsuka-Mark/Photogrammetry pipeline (lens dewarp, FAST detection, BRIEF
+description, Hamming matching, keypoint clustering/NMS, two-view pose,
+triangulation) extended with incremental bundle adjustment, a pose-graph
+backend and multi-chip distributed execution over `jax.sharding` meshes.
+
+Layer map (bottom-up):
+  core/     — SO(3)/SE(3), camera models, closed-form cubic solver
+  ops/      — dense static-shape image ops (dewarp, FAST, BRIEF, match, NMS,
+              clustering): everything vmap/jit-able, no data-dependent shapes
+  kernels/  — Pallas TPU kernels for the hot loops
+  sfm/      — epipolar geometry, RANSAC, triangulation, bundle adjustment,
+              pose graph, incremental SfM driver
+  parallel/ — device meshes, shard_map-distributed BA and pipelines
+  store/    — content store with typed variants + on-disk caches
+  io/       — image I/O, PLY export, overlay drawing
+  synth/    — synthetic ground-truth scene generation (star camera-pan)
+  utils/    — padding helpers, profiling/stats logging
+"""
+
+__version__ = "0.1.0"

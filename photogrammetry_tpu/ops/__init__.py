@@ -1,0 +1,16 @@
+from photogrammetry_tpu.ops.grayscale import bgr_to_gray_cv2, rgb_to_gray_mean
+from photogrammetry_tpu.ops.fast import fast_score_map, extract_keypoints
+from photogrammetry_tpu.ops.brief import gaussian_pairs, brief_descriptors
+from photogrammetry_tpu.ops.match import (
+    hamming_distance_matrix,
+    mutual_nearest_matches,
+    greedy_global_matches,
+    sorted_candidate_matches,
+)
+from photogrammetry_tpu.ops.nms import nms_keypoints
+from photogrammetry_tpu.ops.dewarp import (
+    generate_distortion_map,
+    apply_distortion_map,
+    solve_undistorted_radius,
+)
+from photogrammetry_tpu.ops.cluster import grid_cluster_keypoints

@@ -1,0 +1,124 @@
+"""Lens dewarp via the rational radial distortion ("distortion-mat") model.
+
+Model (reference derivation in warping.py:33-76 and notes/de_warping.md):
+    rd = r * f(r),  f(r) = (1 + k1 r + k2 r^2) / (1 + k3 r + k4 r^2 + k5 r^3)
+Inverting for the undistorted radius r at each output pixel yields the monic
+cubic  r^3 + B r^2 + C r + D = 0  with
+    B = (rd k4 - k1) / (rd k5 - k2)
+    C = (rd k3 - 1)  / (rd k5 - k2)
+    D =  rd          / (rd k5 - k2)
+(warping.py:116-119, DeWarp.cs:69-73), root selection = middle of three real
+roots else the single real root (warping.py:127-130).
+
+TPU-native design: the reference loops pixel-by-pixel with an rd^2 -> root
+memo dict (111 s naive / 18 s memoized on 1920x1080, BASELINE.md).  Here every
+pixel's cubic is solved in closed form at once (core/cubic.py) — no memo, no
+loop — and the remap is a batched bilinear gather (the reference defers to
+cv2.remap, warping.py:159).  The polar round-trip via arctan/cos/sin
+(warping.py:136-139) reduces algebraically to scaling (x, y) by r/rd, which
+avoids the trig entirely.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from photogrammetry_tpu.core.cubic import middle_real_root
+
+_EPS = 1e-12
+
+
+@jax.jit
+def solve_undistorted_radius(rd: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Undistorted radius r for distorted radius rd (elementwise).
+
+    coeffs: (5,) [k1..k5].  Degenerate denominators (rd*k5 == k2) are guarded
+    with an epsilon; rd == 0 maps to r == 0.
+    """
+    k1, k2, k3, k4, k5 = (coeffs[i] for i in range(5))
+    den = rd * k5 - k2
+    den = jnp.where(jnp.abs(den) < _EPS, jnp.where(den < 0, -_EPS, _EPS), den)
+    b = (rd * k4 - k1) / den
+    c = (rd * k3 - 1.0) / den
+    d = rd / den
+    r = middle_real_root(b, c, d)
+    return jnp.where(rd <= 0.0, 0.0, r)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "quantize"))
+def generate_distortion_map(height: int, width: int, coeffs,
+                            quantize: bool = False) -> jnp.ndarray:
+    """(H, W, 2) float32 map: output pixel (u, v) -> source (row, col).
+
+    With quantize=True source coordinates are truncated to integers, matching
+    the reference's int cast (warping.py:142-144) for parity testing; the
+    default keeps sub-pixel precision for the bilinear remap.
+    """
+    coeffs = jnp.asarray(coeffs, jnp.float32)
+    # Center convention per warping.py:84-85: x spans rows, y spans cols.
+    x0 = height / 2.0
+    y0 = width / 2.0
+    u = jnp.arange(height, dtype=jnp.float32)[:, None]
+    v = jnp.arange(width, dtype=jnp.float32)[None, :]
+    # The reference int-truncates the centered offsets (warping.py:107-108).
+    x = jnp.trunc(u - x0) * jnp.ones_like(v)
+    y = jnp.trunc(v - y0) * jnp.ones_like(u)
+
+    rd = jnp.sqrt(x * x + y * y)
+    r = solve_undistorted_radius(rd, coeffs)
+    scale = jnp.where(rd > 0.0, r / jnp.maximum(rd, _EPS), 1.0)
+
+    src_row = x * scale + x0
+    src_col = y * scale + y0
+    if quantize:
+        src_row = jnp.trunc(src_row)
+        src_col = jnp.trunc(src_col)
+    return jnp.stack([src_row, src_col], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def apply_distortion_map(image: jnp.ndarray, dist_map: jnp.ndarray,
+                         mode: str = "bilinear") -> jnp.ndarray:
+    """Remap ``image`` through ``dist_map`` ((H, W, 2) source coords).
+
+    mode='bilinear' matches cv2.remap INTER_LINEAR with zero border
+    (warping.py:159); mode='nearest' matches the reference's naive integer
+    lookup (warping.py:164-177).  Works on (H, W) or (H, W, C) images.
+    """
+    squeeze = image.ndim == 2
+    img = image[..., None] if squeeze else image
+    h, w, _ = img.shape
+    imgf = img.astype(jnp.float32)
+    sr = dist_map[..., 0]
+    sc = dist_map[..., 1]
+
+    if mode == "nearest":
+        ri = jnp.clip(sr.astype(jnp.int32), 0, h - 1)
+        ci = jnp.clip(sc.astype(jnp.int32), 0, w - 1)
+        valid = (sr >= 0) & (sr <= h - 1) & (sc >= 0) & (sc <= w - 1)
+        out = jnp.where(valid[..., None], imgf[ri, ci], 0.0)
+    elif mode == "bilinear":
+        r0 = jnp.floor(sr)
+        c0 = jnp.floor(sc)
+        fr = (sr - r0)[..., None]
+        fc = (sc - c0)[..., None]
+        r0i = r0.astype(jnp.int32)
+        c0i = c0.astype(jnp.int32)
+
+        def tap(dr, dc):
+            rr = r0i + dr
+            cc = c0i + dc
+            inside = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            val = imgf[jnp.clip(rr, 0, h - 1), jnp.clip(cc, 0, w - 1)]
+            return jnp.where(inside[..., None], val, 0.0)
+
+        out = (tap(0, 0) * (1 - fr) * (1 - fc) + tap(0, 1) * (1 - fr) * fc
+               + tap(1, 0) * fr * (1 - fc) + tap(1, 1) * fr * fc)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    out = out.astype(image.dtype) if jnp.issubdtype(image.dtype, jnp.floating) \
+        else jnp.round(out).astype(image.dtype)
+    return out[..., 0] if squeeze else out

@@ -1,0 +1,135 @@
+"""BRIEF descriptor and Hamming matching tests."""
+import numpy as np
+import jax
+
+from photogrammetry_tpu.ops.brief import (
+    gaussian_pairs, brief_bits, pack_bits, brief_descriptors,
+)
+from photogrammetry_tpu.ops.match import (
+    hamming_distance_matrix, mutual_nearest_matches, greedy_global_matches,
+    sorted_candidate_matches, INT_INF,
+)
+
+
+def reference_brief(img, r, c, pairs):
+    """Transcription of keypoint.py:32-50 as an oracle (LSB-first int)."""
+    h, w = img.shape
+    des = 0
+    for idx, ((ar, ac), (br, bc)) in enumerate(pairs):
+        p1r, p1c, p2r, p2c = r + ar, c + ac, r + br, c + bc
+        if not (0 <= p1r < h and 0 <= p2r < h and 0 <= p1c < w and 0 <= p2c < w):
+            continue
+        if img[p1r, p1c] < img[p2r, p2c]:
+            des += 1 << idx
+    return des
+
+
+def bits_to_int(bits):
+    return sum(int(b) << i for i, b in enumerate(bits))
+
+
+def test_gaussian_pairs_deterministic():
+    k = jax.random.PRNGKey(42)
+    p1 = np.asarray(gaussian_pairs(k))
+    p2 = np.asarray(gaussian_pairs(k))
+    np.testing.assert_array_equal(p1, p2)
+    assert p1.shape == (256, 2, 2)
+    # sigma=50 offsets overwhelmingly within +-250
+    assert np.abs(p1).max() < 300
+
+
+def test_brief_matches_reference_semantics():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (64, 64)).astype(np.float32)
+    pairs = np.asarray(gaussian_pairs(jax.random.PRNGKey(0), sigma=10.0))
+    coords = np.array([[10, 10], [32, 32], [3, 60]], np.int32)
+    bits = np.asarray(brief_bits(img, coords, pairs))
+    for n, (r, c) in enumerate(coords):
+        assert bits_to_int(bits[n]) == reference_brief(img, r, c, pairs), n
+
+
+def test_out_of_bounds_pairs_are_zero():
+    img = np.ones((16, 16), np.float32)
+    pairs = np.full((256, 2, 2), 100, np.int32)  # all OOB
+    bits = np.asarray(brief_bits(img, np.array([[8, 8]], np.int32), pairs))
+    assert (bits == 0).all()
+
+
+def test_pack_bits_roundtrip():
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, (5, 256)).astype(np.uint8)
+    packed = np.asarray(pack_bits(bits))
+    assert packed.shape == (5, 8)
+    for n in range(5):
+        val = 0
+        for w in range(8):
+            val |= int(packed[n, w]) << (32 * w)
+        assert val == bits_to_int(bits[n])
+
+
+def test_hamming_distance_exact():
+    rng = np.random.default_rng(5)
+    b1 = rng.integers(0, 2, (17, 256)).astype(np.uint8)
+    b2 = rng.integers(0, 2, (23, 256)).astype(np.uint8)
+    d = np.asarray(hamming_distance_matrix(b1, b2))
+    expected = (b1[:, None, :] != b2[None, :, :]).sum(-1)
+    np.testing.assert_array_equal(d, expected)
+
+
+def test_hamming_distance_masked():
+    b = np.zeros((4, 256), np.uint8)
+    m1 = np.array([True, True, False, True])
+    m2 = np.array([False, True, True, True])
+    d = np.asarray(hamming_distance_matrix(b, b, m1, m2))
+    assert (d[2, :] == INT_INF).all()
+    assert (d[:, 0] == INT_INF).all()
+    assert d[1, 1] == 0
+
+
+def test_mutual_nearest_matches_shift():
+    rng = np.random.default_rng(6)
+    b1 = rng.integers(0, 2, (10, 256)).astype(np.uint8)
+    perm = rng.permutation(10)
+    b2 = b1[perm]
+    d = hamming_distance_matrix(b1, b2)
+    idx2, dist, valid = mutual_nearest_matches(d, 10)
+    idx2, dist, valid = map(np.asarray, (idx2, dist, valid))
+    # Each descriptor's unique zero-distance partner must be found.
+    inv = np.argsort(perm)
+    assert valid.all()
+    np.testing.assert_array_equal(idx2, inv)
+    assert (dist == 0).all()
+
+
+def test_greedy_global_matches_semantics():
+    # 3x3 crafted distance matrix; greedy picks global minima in order,
+    # removing rows/cols (KeypointMatching.cs:38-66 semantics).
+    d = np.array([[5, 1, 9],
+                  [2, 0, 7],
+                  [8, 6, 3]], np.int32)
+    ii, jj, dd, valid = map(np.asarray, greedy_global_matches(d, 3))
+    assert list(zip(ii, jj, dd)) == [(1, 1, 0), (2, 2, 3), (0, 0, 5)]
+    assert valid.all()
+
+
+def test_sorted_candidates():
+    d = np.array([[3, 1, 2]], np.int32)
+    order, dist = map(np.asarray, sorted_candidate_matches(d))
+    np.testing.assert_array_equal(order[0], [1, 2, 0])
+    np.testing.assert_array_equal(dist[0], [1, 2, 3])
+
+
+def test_descriptors_shift_invariance():
+    """A translated copy of an image yields identical descriptors at
+    translated keypoints away from the border (the 15pt_star_shifted_150
+    fixture idea, data/feature_matching_test)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (128, 128)).astype(np.float32)
+    shift = 7
+    img2 = np.roll(img, shift, axis=1)
+    pairs = gaussian_pairs(jax.random.PRNGKey(1), sigma=5.0)
+    coords1 = np.array([[40, 40], [60, 70]], np.int32)
+    coords2 = coords1 + np.array([[0, shift]])
+    bits1, _ = brief_descriptors(img, coords1, pairs)
+    bits2, _ = brief_descriptors(img2, coords2, pairs)
+    np.testing.assert_array_equal(np.asarray(bits1), np.asarray(bits2))
