@@ -1,0 +1,114 @@
+"""Feature-tracking frontend: images → matched pixel correspondences.
+
+This is the framework's equivalent of the reference's per-image pipeline +
+matching driver (TestService.BuildKeypointDetectorPipeline, TestService.cs:
+137-152, followed by KeypointMatching, TestService.cs:80-134), expressed as
+two jittable stages over static-shape arrays:
+
+  detect_and_describe: grayscale image → (keypoints, descriptor bits)
+  match_pair:          two described frames → (xy1, xy2, mask)
+
+Keypoint redundancy removal supports both reference policies: 'nms'
+(C# RedundantKeypointEliminator) and 'cluster' (Python chunked hierarchical
+clustering).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from photogrammetry_tpu.core.camera import keypoints_to_xy
+from photogrammetry_tpu.ops.brief import brief_bits, gaussian_pairs
+from photogrammetry_tpu.ops.cluster import grid_cluster_keypoints
+from photogrammetry_tpu.ops.fast import extract_keypoints, fast_score_map
+from photogrammetry_tpu.ops.match import (
+    hamming_distance_matrix, mutual_nearest_matches,
+)
+from photogrammetry_tpu.ops.nms import compact_points, nms_keypoints
+from photogrammetry_tpu.ops.refine import refine_subpixel
+from photogrammetry_tpu.utils.padding import PaddedPoints
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Detection/description/matching configuration.
+
+    Defaults follow the reference's Python CLI (match_keypoints.py:14-24:
+    threshold 50 on int grayscale, max merge dist 25, hamming threshold 75)
+    and C# appsettings (suppression radius 50, 256 pairs, sigma 50).
+    """
+    detection_threshold: float = 50.0
+    max_keypoints: int = 1024
+    reduction: str = "nms"            # 'nms' | 'cluster' | 'none'
+    suppression_radius: float = 50.0
+    max_merge_dist: float = 25.0
+    cluster_chunks: tuple = (4, 4)
+    brief_sigma: float = 50.0
+    num_pairs: int = 256
+    hamming_threshold: int = 75
+    pair_seed: int = 0
+    subpixel: bool = True             # refine corners before geometry
+
+
+class DescribedFrame(NamedTuple):
+    points: PaddedPoints
+    bits: jnp.ndarray  # (K, P) uint8
+    xy: jnp.ndarray    # (K, 2) float32 subpixel (x, y) pixel coords
+
+
+def make_pairs(config: FrontendConfig) -> jnp.ndarray:
+    return gaussian_pairs(jax.random.PRNGKey(config.pair_seed),
+                          sigma=config.brief_sigma,
+                          num_pairs=config.num_pairs)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def detect_and_describe(gray: jnp.ndarray, pairs: jnp.ndarray,
+                        config: FrontendConfig) -> DescribedFrame:
+    """Grayscale (H, W) float image → keypoints + BRIEF bits."""
+    h, w = gray.shape
+    score = fast_score_map(gray, config.detection_threshold)
+    pts = extract_keypoints(score, capacity=config.max_keypoints,
+                            order="score")
+    if config.reduction == "nms":
+        pts = compact_points(nms_keypoints(pts, config.suppression_radius),
+                             config.max_keypoints)
+    elif config.reduction == "cluster":
+        pts = grid_cluster_keypoints(
+            pts, h, w, max_merge_dist=config.max_merge_dist,
+            chunks=config.cluster_chunks,
+            chunk_capacity=max(config.max_keypoints // 4, 64))
+        pts = compact_points(pts, config.max_keypoints)
+    bits = brief_bits(gray, pts.coords, pairs)
+    bits = bits * pts.mask[:, None].astype(bits.dtype)
+    if config.subpixel:
+        rc = refine_subpixel(gray, pts.coords)
+        xy = jnp.stack([rc[:, 1], rc[:, 0]], axis=-1)
+    else:
+        xy = keypoints_to_xy(pts.coords)
+    return DescribedFrame(points=pts, bits=bits, xy=xy)
+
+
+class MatchedPair(NamedTuple):
+    xy1: jnp.ndarray    # (K, 2) float32 (x, y) pixel coords in frame 1
+    xy2: jnp.ndarray    # (K, 2)
+    dist: jnp.ndarray   # (K,) int32 Hamming distances
+    mask: jnp.ndarray   # (K,) bool valid matches
+    num: jnp.ndarray    # () int32
+
+
+@partial(jax.jit, static_argnames=("config",))
+def match_pair(f1: DescribedFrame, f2: DescribedFrame,
+               config: FrontendConfig) -> MatchedPair:
+    """Mutual-nearest Hamming matching between two described frames."""
+    d = hamming_distance_matrix(f1.bits, f2.bits, f1.points.mask,
+                                f2.points.mask)
+    idx2, dist, valid = mutual_nearest_matches(d, config.hamming_threshold)
+    xy1 = f1.xy
+    xy2 = f2.xy[jnp.clip(idx2, 0)]
+    return MatchedPair(xy1=xy1, xy2=xy2, dist=dist, mask=valid,
+                       num=jnp.sum(valid).astype(jnp.int32))

@@ -1,0 +1,53 @@
+"""Two-view relative pose + structure: the reference's SfM core, one jit.
+
+Composes RANSAC fundamental estimation, essential decomposition, DLT
+triangulation and cheirality voting (the full driver of
+CameraPoseEstimation.cs + Program.cs:207-249) into a single jittable
+function over fixed-capacity correspondence arrays.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from photogrammetry_tpu.sfm.epipolar import (
+    ransac_fundamental, essential_from_fundamental, decompose_essential,
+)
+from photogrammetry_tpu.sfm.triangulate import select_pose
+
+
+class TwoViewResult(NamedTuple):
+    f: jnp.ndarray            # (3, 3) fundamental matrix
+    e: jnp.ndarray            # (3, 3) essential matrix
+    r: jnp.ndarray            # (3, 3) rotation of camera 2
+    t: jnp.ndarray            # (3,) unit translation of camera 2
+    points: jnp.ndarray       # (N, 3) triangulated points (world = cam-1 frame)
+    inliers: jnp.ndarray      # (N,) bool epipolar inliers
+    num_inliers: jnp.ndarray  # () int32
+    cheirality: jnp.ndarray   # (4,) int32 positive-depth votes per candidate
+
+
+@partial(jax.jit, static_argnames=("num_samples", "sample_size", "residual"))
+def two_view_pipeline(key: jax.Array, xy1: jnp.ndarray, xy2: jnp.ndarray,
+                      mask: jnp.ndarray, k: jnp.ndarray,
+                      threshold: float = 1.0,
+                      num_samples: int = 2000, sample_size: int = 8,
+                      residual: str = "sampson") -> TwoViewResult:
+    """Matched pixel coords (x, y) → relative pose + 3-D structure.
+
+    threshold is in pixels for residual='sampson'; the reference's 1e-3 on
+    the algebraic residual (Program.cs:229) corresponds to residual =
+    'algebraic'.
+    """
+    res = ransac_fundamental(key, xy1, xy2, mask, threshold,
+                             num_samples=num_samples, sample_size=sample_size,
+                             residual=residual)
+    e = essential_from_fundamental(res.f, k, k)
+    rs, ts = decompose_essential(e)
+    r, t, pts, counts, _ = select_pose(xy1, xy2, rs, ts, k, k, res.inliers)
+    return TwoViewResult(f=res.f, e=e, r=r, t=t, points=pts,
+                         inliers=res.inliers, num_inliers=res.num_inliers,
+                         cheirality=counts.astype(jnp.int32))
