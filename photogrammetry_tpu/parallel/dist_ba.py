@@ -1,0 +1,150 @@
+"""Distributed Schur-complement bundle adjustment over a device mesh.
+
+The north-star distributed design (BASELINE.json): partition LANDMARKS
+(tracks) across devices; each device builds the normal-equation
+contributions of its landmark shard — H_pp is block-diagonal so its inverse
+never leaves the shard — and the dense reduced camera system
+S = H_cc - W H_pp^-1 W^T plus its right-hand side are assembled with a
+single `psum` over ICI.  Every device then solves the (small, replicated)
+camera system and back-substitutes its own landmark shard locally.  The only
+cross-device traffic per LM iteration is the (6F x 6F + 6F) psum.
+
+Two layers:
+  * `shard_problem` — GSPMD path: place BAProblem/BAState with
+    NamedShardings and run the *unmodified* single-device `bundle_adjust`;
+    XLA's SPMD partitioner inserts the same collectives automatically.
+  * `distributed_bundle_adjust` — explicit `shard_map` implementation of the
+    LM loop (collectives written out with psum), used when full control of
+    the communication schedule is wanted and as the reference for testing
+    that both paths agree.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from photogrammetry_tpu.sfm.ba import (
+    BAProblem, BAResult, BAState, _inv3, apply_step, residuals_and_jacobians,
+)
+
+
+def shard_problem(state: BAState, prob: BAProblem, mesh: Mesh,
+                  axis: str = "tracks"):
+    """Place state/problem on the mesh with landmarks sharded over ``axis``.
+
+    The returned pair can be fed to the plain `bundle_adjust`; XLA SPMD
+    partitions the einsums and inserts the psums.
+    """
+    repl = NamedSharding(mesh, P())
+    t_obs = NamedSharding(mesh, P(None, axis))
+    t_pts = NamedSharding(mesh, P(axis))
+    state = BAState(
+        rs=jax.device_put(state.rs, repl),
+        ts=jax.device_put(state.ts, repl),
+        points=jax.device_put(state.points, t_pts),
+    )
+    prob = BAProblem(
+        obs=jax.device_put(prob.obs, NamedSharding(mesh, P(None, axis, None))),
+        mask=jax.device_put(prob.mask, t_obs),
+        k=jax.device_put(prob.k, repl),
+    )
+    return state, prob
+
+
+def _local_schur(r, j_cam, j_pt, lam, fixed_cameras, axis):
+    """Schur step over the local landmark shard; psum-assembled camera system.
+
+    Identical math to sfm.ba.schur_solve, with the landmark dimension local
+    and `lax.psum(..., axis)` closing the reduction over shards.
+    """
+    f = r.shape[0]
+    h_cc = lax.psum(jnp.einsum("ftri,ftrj->fij", j_cam, j_cam), axis)
+    h_pp = jnp.einsum("ftri,ftrj->tij", j_pt, j_pt)             # local
+    w_cp = jnp.einsum("ftri,ftrj->ftij", j_cam, j_pt)           # local
+    b_c = lax.psum(-jnp.einsum("ftri,ftr->fi", j_cam, r), axis)
+    b_p = -jnp.einsum("ftri,ftr->ti", j_pt, r)                  # local
+
+    eye6 = jnp.eye(6)
+    eye3 = jnp.eye(3)
+    h_cc = h_cc + lam * (h_cc * eye6) + 1e-8 * eye6
+    h_pp = h_pp + lam * (h_pp * eye3) + 1e-8 * eye3
+    hpp_inv = _inv3(h_pp)
+
+    w_hinv = jnp.einsum("ftij,tjk->ftik", w_cp, hpp_inv)
+    s_off = lax.psum(jnp.einsum("ftik,gtjk->fgij", w_hinv, w_cp), axis)
+    rhs = b_c - lax.psum(jnp.einsum("ftik,tk->fi", w_hinv, b_p), axis)
+
+    s = -s_off
+    s = s.at[jnp.arange(f), jnp.arange(f)].add(h_cc)
+
+    fc = fixed_cameras.astype(jnp.float32)
+    s = s * (fc[:, None, None, None] * fc[None, :, None, None])
+    s = s.at[jnp.arange(f), jnp.arange(f)].add(
+        (1.0 - fc)[:, None, None] * jnp.eye(6))
+    rhs = rhs * fc[:, None]
+
+    s_mat = s.transpose(0, 2, 1, 3).reshape(6 * f, 6 * f)
+    delta_c = jnp.linalg.solve(s_mat, rhs.reshape(-1)).reshape(f, 6)
+    delta_c = delta_c * fc[:, None]
+
+    rhs_p = b_p - jnp.einsum("ftij,fi->tj", w_cp, delta_c)
+    delta_p = jnp.einsum("tij,tj->ti", hpp_inv, rhs_p)
+    return delta_c, delta_p
+
+
+def distributed_bundle_adjust(state: BAState, prob: BAProblem, mesh: Mesh,
+                              num_iterations: int = 20,
+                              huber_delta: float = 3.0,
+                              init_lambda: float = 1e-3,
+                              fixed_cameras: jnp.ndarray | None = None,
+                              axis: str = "tracks") -> BAResult:
+    """LM bundle adjustment with the Schur step sharded over ``axis``.
+
+    Semantics match `bundle_adjust` (same damping/accept logic); landmark
+    capacity must divide the mesh axis size.
+    """
+    f = state.rs.shape[0]
+    if fixed_cameras is None:
+        fixed_cameras = jnp.ones((f,)).at[0].set(0.0)
+
+    pspec_state = BAState(rs=P(), ts=P(), points=P(axis))
+    pspec_prob = BAProblem(obs=P(None, axis, None), mask=P(None, axis), k=P())
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(pspec_state, pspec_prob, P()),
+             out_specs=(pspec_state, P()),
+             check_rep=False)
+    def run(state_l, prob_l, fixed):
+        def cost_of(st):
+            _, _, _, c = residuals_and_jacobians(st, prob_l, huber_delta)
+            return lax.psum(c, axis)
+
+        cost0 = cost_of(state_l)
+
+        def body(carry, _):
+            st, lam, cost = carry
+            r, j_cam, j_pt, _ = residuals_and_jacobians(st, prob_l,
+                                                        huber_delta)
+            delta_c, delta_p = _local_schur(r, j_cam, j_pt, lam, fixed, axis)
+            cand = apply_step(st, delta_c, delta_p)
+            new_cost = cost_of(cand)
+            accept = new_cost < cost
+            st = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, st)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                            jnp.minimum(lam * 4.0, 1e6))
+            return (st, lam, cost), cost
+
+        (st, _, cost), _ = lax.scan(
+            body, (state_l, jnp.float32(init_lambda), cost0), None,
+            length=num_iterations)
+        return st, jnp.stack([cost0, cost])
+
+    state_out, costs = run(state, prob, fixed_cameras)
+    return BAResult(state=state_out, cost=costs[1], initial_cost=costs[0],
+                    iterations=jnp.int32(num_iterations))

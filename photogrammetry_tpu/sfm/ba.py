@@ -1,0 +1,226 @@
+"""Bundle adjustment: Levenberg-Marquardt with a Schur-complement reduced
+camera system, fully batched for the MXU.
+
+The reference has no BA (SURVEY.md §0: "no bundle adjustment"); this is the
+north-star component of BASELINE.json.  Design notes:
+
+  * Observations are carried as a dense (F frames, T tracks) grid with a
+    validity mask — the framework's static-shape convention.  Residuals and
+    the analytic Jacobians J_cam (F,T,2,6) / J_pt (F,T,2,3) are one fused
+    elementwise computation over the grid (VPU), and every contraction that
+    assembles the normal equations is an einsum (MXU).
+  * The structure of H is exploited exactly as in classic sparse BA: H_pp is
+    (T,3,3) block-diagonal and inverted in closed form; the reduced camera
+    system S = H_cc - W H_pp^-1 W^T is a dense (6F, 6F) matrix assembled
+    with einsums and solved with Cholesky.  For window sizes used in
+    incremental SLAM (F <= ~50) the dense reduced system is the
+    MXU-optimal layout.
+  * Pose increments are left-multiplicative SE(3) twists; camera 0 is frozen
+    for gauge fixing (monocular scale gauge is handled by LM damping and by
+    similarity alignment in evaluation).
+  * Robustness: Huber IRLS weights folded into r and J.
+
+The same residual core serves full BA, motion-only BA (landmarks frozen) and
+structure-only refinement (poses frozen) via update masks.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from photogrammetry_tpu.core.lie import se3_exp, so3_hat
+
+
+class BAProblem(NamedTuple):
+    obs: jnp.ndarray       # (F, T, 2) observed pixel (x, y)
+    mask: jnp.ndarray      # (F, T) bool
+    k: jnp.ndarray         # (3, 3) intrinsics
+
+
+class BAState(NamedTuple):
+    rs: jnp.ndarray        # (F, 3, 3) world->cam rotations
+    ts: jnp.ndarray        # (F, 3) world->cam translations
+    points: jnp.ndarray    # (T, 3) landmarks (world)
+
+
+def project(rs, ts, points, k):
+    """(F,3,3),(F,3),(T,3) → pixel (F,T,2) and depth (F,T)."""
+    pc = jnp.einsum("fij,tj->fti", rs, points) + ts[:, None, :]
+    z = pc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    x = k[0, 0] * pc[..., 0] / zs + k[0, 2]
+    y = k[1, 1] * pc[..., 1] / zs + k[1, 2]
+    return jnp.stack([x, y], axis=-1), z, pc
+
+
+def residuals_and_jacobians(state: BAState, prob: BAProblem,
+                            huber_delta: float = 3.0):
+    """Weighted residuals r (F,T,2), J_cam (F,T,2,6), J_pt (F,T,2,3), and the
+    robust cost.  Invalid/behind-camera observations are zero-weighted."""
+    rs, ts, points = state
+    pred, z, pc = project(rs, ts, points, prob.k)
+    r = pred - prob.obs
+    valid = prob.mask & (z > 1e-6)
+    w = valid.astype(jnp.float32)
+
+    # Huber IRLS weight on the 2-norm of each residual pair.
+    rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+    hw = jnp.minimum(1.0, huber_delta / rn)
+    w = w * hw
+    sw = jnp.sqrt(w)
+
+    fx = prob.k[0, 0]
+    fy = prob.k[1, 1]
+    zinv = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    # dpi/dp: (F,T,2,3)
+    zeros = jnp.zeros_like(z)
+    dpi = jnp.stack([
+        jnp.stack([fx * zinv, zeros, -fx * pc[..., 0] * zinv ** 2], -1),
+        jnp.stack([zeros, fy * zinv, -fy * pc[..., 1] * zinv ** 2], -1),
+    ], -2)
+
+    # dp/d(delta_w) = -[p]x ; dp/d(delta_v) = I  (left increment)
+    neg_phat = -so3_hat(pc)                      # (F,T,3,3)
+    j_cam_w = jnp.einsum("ftij,ftjk->ftik", dpi, neg_phat)  # (F,T,2,3)
+    j_cam = jnp.concatenate([j_cam_w, dpi], axis=-1)        # (F,T,2,6)
+    j_pt = jnp.einsum("ftij,fjk->ftik", dpi, rs)            # (F,T,2,3)
+
+    r = r * sw[..., None]
+    j_cam = j_cam * sw[..., None, None]
+    j_pt = j_pt * sw[..., None, None]
+
+    # robust (Huber) cost
+    quad = 0.5 * rn ** 2
+    lin = huber_delta * (rn - 0.5 * huber_delta)
+    cost = jnp.sum(jnp.where(rn <= huber_delta, quad, lin)
+                   * valid.astype(jnp.float32))
+    return r, j_cam, j_pt, cost
+
+
+def _inv3(m):
+    """Batched closed-form 3x3 inverse (…,3,3)."""
+    a = m[..., 0, 0]; b = m[..., 0, 1]; c = m[..., 0, 2]
+    d = m[..., 1, 0]; e = m[..., 1, 1]; f = m[..., 1, 2]
+    g = m[..., 2, 0]; h = m[..., 2, 1]; i = m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack([
+        jnp.stack([co_a, -(b * i - c * h), b * f - c * e], -1),
+        jnp.stack([co_b, a * i - c * g, -(a * f - c * d)], -1),
+        jnp.stack([co_c, -(a * h - b * g), a * e - b * d], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
+def schur_solve(r, j_cam, j_pt, lam, fixed_cameras):
+    """One damped Gauss-Newton step via the Schur complement.
+
+    Args:
+      r: (F,T,2) weighted residuals; j_cam (F,T,2,6); j_pt (F,T,2,3).
+      lam: LM damping scalar.
+      fixed_cameras: (F,) float — 0 freezes a camera's update (gauge).
+    Returns (delta_cam (F,6), delta_pt (T,3)).
+    """
+    f, t = r.shape[:2]
+    # Normal-equation blocks (all einsums -> MXU):
+    h_cc = jnp.einsum("ftri,ftrj->fij", j_cam, j_cam)          # (F,6,6)
+    h_pp = jnp.einsum("ftri,ftrj->tij", j_pt, j_pt)            # (T,3,3)
+    w_cp = jnp.einsum("ftri,ftrj->ftij", j_cam, j_pt)          # (F,T,6,3)
+    b_c = -jnp.einsum("ftri,ftr->fi", j_cam, r)                # (F,6)
+    b_p = -jnp.einsum("ftri,ftr->ti", j_pt, r)                 # (T,3)
+
+    # LM damping (multiplicative on the diagonal).
+    eye6 = jnp.eye(6)
+    eye3 = jnp.eye(3)
+    h_cc = h_cc + lam * (h_cc * eye6) + 1e-8 * eye6
+    h_pp = h_pp + lam * (h_pp * eye3) + 1e-8 * eye3
+
+    hpp_inv = _inv3(h_pp)                                       # (T,3,3)
+
+    # Reduced camera system S = H_cc δ - W Hpp^-1 W^T  (dense (6F,6F)).
+    w_hinv = jnp.einsum("ftij,tjk->ftik", w_cp, hpp_inv)        # (F,T,6,3)
+    s_off = jnp.einsum("ftik,gtjk->fgij", w_hinv, w_cp)         # (F,F,6,6)
+    s = -s_off
+    s = s.at[jnp.arange(f), jnp.arange(f)].add(h_cc)
+    rhs = b_c - jnp.einsum("ftik,tk->fi", w_hinv, b_p)          # (F,6)
+
+    # Freeze gauge cameras: zero their rows/cols, identity diagonal.
+    fc = fixed_cameras.astype(jnp.float32)
+    s = s * (fc[:, None, None, None] * fc[None, :, None, None])
+    s = s.at[jnp.arange(f), jnp.arange(f)].add(
+        (1.0 - fc)[:, None, None] * jnp.eye(6))
+    rhs = rhs * fc[:, None]
+
+    s_mat = s.transpose(0, 2, 1, 3).reshape(6 * f, 6 * f)
+    delta_c = jnp.linalg.solve(s_mat, rhs.reshape(-1)).reshape(f, 6)
+    delta_c = delta_c * fc[:, None]
+
+    # Back-substitute landmarks.
+    rhs_p = b_p - jnp.einsum("ftij,fi->tj", w_cp, delta_c)
+    delta_p = jnp.einsum("tij,tj->ti", hpp_inv, rhs_p)
+    return delta_c, delta_p
+
+
+def apply_step(state: BAState, delta_c, delta_p,
+               update_points: bool = True) -> BAState:
+    """Left-multiplicative pose update + landmark update."""
+    dr, dt = se3_exp(delta_c)
+    rs = jnp.einsum("fij,fjk->fik", dr, state.rs)
+    ts = jnp.einsum("fij,fj->fi", dr, state.ts) + dt
+    points = state.points + delta_p if update_points else state.points
+    return BAState(rs=rs, ts=ts, points=points)
+
+
+class BAResult(NamedTuple):
+    state: BAState
+    cost: jnp.ndarray
+    initial_cost: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("num_iterations", "optimize_points"))
+def bundle_adjust(state: BAState, prob: BAProblem,
+                  num_iterations: int = 20,
+                  huber_delta: float = 3.0,
+                  init_lambda: float = 1e-3,
+                  fixed_cameras: jnp.ndarray | None = None,
+                  optimize_points: bool = True) -> BAResult:
+    """Levenberg-Marquardt bundle adjustment (static iteration count).
+
+    fixed_cameras: (F,) float mask; 0 freezes a camera.  Defaults to freezing
+    camera 0 (gauge).  optimize_points=False gives motion-only BA.
+    """
+    f = state.rs.shape[0]
+    if fixed_cameras is None:
+        fixed_cameras = jnp.ones((f,)).at[0].set(0.0)
+
+    _, _, _, cost0 = residuals_and_jacobians(state, prob, huber_delta)
+
+    def body(carry, _):
+        state, lam, cost = carry
+        r, j_cam, j_pt, _ = residuals_and_jacobians(state, prob, huber_delta)
+        if not optimize_points:
+            j_pt = jnp.zeros_like(j_pt)
+        delta_c, delta_p = schur_solve(r, j_cam, j_pt, lam, fixed_cameras)
+        cand = apply_step(state, delta_c, delta_p, optimize_points)
+        _, _, _, new_cost = residuals_and_jacobians(cand, prob, huber_delta)
+        accept = new_cost < cost
+        state = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), cand, state)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.minimum(lam * 4.0, 1e6))
+        return (state, lam, cost), cost
+
+    (state, _, cost), _ = lax.scan(
+        body, (state, jnp.float32(init_lambda), cost0), None,
+        length=num_iterations)
+    return BAResult(state=state, cost=cost, initial_cost=cost0,
+                    iterations=jnp.int32(num_iterations))

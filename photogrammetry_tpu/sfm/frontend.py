@@ -96,6 +96,7 @@ def detect_and_describe(gray: jnp.ndarray, pairs: jnp.ndarray,
 class MatchedPair(NamedTuple):
     xy1: jnp.ndarray    # (K, 2) float32 (x, y) pixel coords in frame 1
     xy2: jnp.ndarray    # (K, 2)
+    idx2: jnp.ndarray   # (K,) int32 matched keypoint index in frame 2 (-1 none)
     dist: jnp.ndarray   # (K,) int32 Hamming distances
     mask: jnp.ndarray   # (K,) bool valid matches
     num: jnp.ndarray    # () int32
@@ -110,5 +111,5 @@ def match_pair(f1: DescribedFrame, f2: DescribedFrame,
     idx2, dist, valid = mutual_nearest_matches(d, config.hamming_threshold)
     xy1 = f1.xy
     xy2 = f2.xy[jnp.clip(idx2, 0)]
-    return MatchedPair(xy1=xy1, xy2=xy2, dist=dist, mask=valid,
+    return MatchedPair(xy1=xy1, xy2=xy2, idx2=idx2, dist=dist, mask=valid,
                        num=jnp.sum(valid).astype(jnp.int32))

@@ -1,0 +1,211 @@
+"""Incremental SfM over an image sequence (the north-star estimator loop).
+
+Host-orchestrated loop over jitted device stages, in the style of a JAX
+training loop:
+
+  frame 0:  detect/describe → open tracks
+  frame 1:  match → extend tracks → two-view init (unit-baseline gauge)
+            → triangulate → full BA
+  frame t:  match → extend tracks → pose init = pose(t-1) → motion-only BA
+            (PnP-style, landmarks frozen) → triangulate new tracks →
+            windowed full BA (cameras before the window frozen)
+
+All per-frame stages are fixed-shape jits; the Python loop only sequences
+them (no data-dependent shapes cross the jit boundary).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from photogrammetry_tpu.sfm.ba import BAProblem, BAState, bundle_adjust, project
+from photogrammetry_tpu.sfm.frontend import (
+    FrontendConfig, detect_and_describe, make_pairs, match_pair,
+)
+from photogrammetry_tpu.sfm.tracks import (
+    TrackTable, extend_tracks, first_last_observations, make_track_table,
+    start_tracks,
+)
+from photogrammetry_tpu.sfm.epipolar import ransac_fundamental
+from photogrammetry_tpu.sfm.two_view import two_view_pipeline
+
+
+@dataclass(frozen=True)
+class SfmConfig:
+    frontend: FrontendConfig = FrontendConfig(
+        suppression_radius=4.0, hamming_threshold=80, max_keypoints=256)
+    track_capacity: int = 1024
+    ransac_threshold: float = 1.5
+    ransac_samples: int = 1000
+    ba_iterations: int = 15
+    window: int = 8               # BA window (frames)
+    min_depth: float = 1e-3
+    max_depth: float = 1e3
+    prune_px: float = 3.0         # reprojection-error observation pruning
+
+
+@jax.jit
+def _triangulate_tracks(table: TrackTable, rs, ts, k,
+                        first, last, min_depth, max_depth) -> TrackTable:
+    """DLT-triangulate tracks with >= 2 observations and no landmark yet.
+
+    Uses the first/last observing frames (max baseline).  Full-projection
+    DLT rows x*P[2]-P[0], y*P[2]-P[1] per view; 4x4 Gram eigh.
+    """
+    cap = table.points.shape[0]
+    need = (~table.has_point) & (first >= 0) & (last > first)
+    fi = jnp.clip(first, 0)
+    li = jnp.clip(last, 0)
+
+    p_all = jnp.einsum("ij,fjk->fik", k,
+                       jnp.concatenate([rs, ts[:, :, None]], axis=2))  # (F,3,4)
+
+    def one(tid):
+        f0, f1 = fi[tid], li[tid]
+        xy0 = table.obs[f0, tid]
+        xy1 = table.obs[f1, tid]
+        p0 = p_all[f0]
+        p1 = p_all[f1]
+        d = jnp.stack([
+            xy0[0] * p0[2] - p0[0],
+            xy0[1] * p0[2] - p0[1],
+            xy1[0] * p1[2] - p1[0],
+            xy1[1] * p1[2] - p1[1],
+        ])
+        gram = d.T @ d
+        _, v = jnp.linalg.eigh(gram)
+        xh = v[:, 0]
+        denom = jnp.where(jnp.abs(xh[3]) < 1e-12, 1e-12, xh[3])
+        x = xh[:3] / denom
+        z0 = (rs[f0] @ x + ts[f0])[2]
+        z1 = (rs[f1] @ x + ts[f1])[2]
+        ok = (z0 > min_depth) & (z1 > min_depth) & (z0 < max_depth) & (z1 < max_depth)
+        return x, ok
+
+    xs, oks = jax.vmap(one)(jnp.arange(cap))
+    accept = need & oks
+    points = jnp.where(accept[:, None], xs, table.points)
+    return table._replace(points=points,
+                          has_point=table.has_point | accept)
+
+
+@jax.jit
+def _prune_observations(table: TrackTable, rs, ts, k,
+                        prune_px) -> TrackTable:
+    """Drop observations of triangulated tracks whose reprojection error
+    exceeds ``prune_px`` (outlier matches), and retire landmarks left with
+    fewer than two observations so they get retriangulated."""
+    pred, z, _ = project(rs, ts, table.points, k)
+    err = jnp.linalg.norm(pred - table.obs, axis=-1)
+    bad = table.has_point[None, :] & table.obs_mask & \
+        ((err > prune_px) | (z <= 0))
+    obs_mask = table.obs_mask & ~bad
+    n_obs = jnp.sum(obs_mask, axis=0)
+    has_point = table.has_point & (n_obs >= 2)
+    return table._replace(obs_mask=obs_mask, has_point=has_point)
+
+
+class SfmResult:
+    """Host-side result: trajectory + landmarks + diagnostics."""
+
+    def __init__(self, rs, ts, table: TrackTable, costs):
+        self.rs = np.asarray(rs)
+        self.ts = np.asarray(ts)
+        self.table = table
+        self.costs = costs
+
+    @property
+    def camera_centers(self) -> np.ndarray:
+        return -np.einsum("fji,fj->fi", self.rs, self.ts)
+
+    @property
+    def points(self) -> np.ndarray:
+        hp = np.asarray(self.table.has_point)
+        return np.asarray(self.table.points)[hp]
+
+
+def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
+                        config: SfmConfig | None = None,
+                        seed: int = 0) -> SfmResult:
+    """frames: (F, H, W) grayscale uint8/float; k: (3, 3) intrinsics."""
+    config = config or SfmConfig()
+    fc = config.frontend
+    num_frames = len(frames)
+    key = jax.random.PRNGKey(seed)
+    pairs = make_pairs(fc)
+    kmat = jnp.asarray(k, jnp.float32)
+
+    table = make_track_table(num_frames, config.track_capacity,
+                             fc.max_keypoints)
+    rs = jnp.tile(jnp.eye(3)[None], (num_frames, 1, 1))
+    ts = jnp.zeros((num_frames, 3))
+    costs = []
+
+    prev = detect_and_describe(jnp.asarray(frames[0], jnp.float32), pairs, fc)
+    table = start_tracks(table, jnp.int32(0), prev.xy, prev.points.mask)
+
+    for t in range(1, num_frames):
+        cur = detect_and_describe(jnp.asarray(frames[t], jnp.float32),
+                                  pairs, fc)
+        m = match_pair(cur, prev, fc)  # rows = current frame's keypoints
+        # Epipolar gating: only RANSAC-inlier matches may chain tracks
+        # (outlier matches would switch track identities and poison BA).
+        key, sub = jax.random.split(key)
+        gate = ransac_fundamental(sub, m.xy1, m.xy2, m.mask,
+                                  threshold=config.ransac_threshold,
+                                  num_samples=config.ransac_samples // 2)
+        good = m.mask & gate.inliers
+        table = extend_tracks(table, jnp.int32(t), cur.xy, cur.points.mask,
+                              m.idx2, good)
+
+        if t == 1:
+            # Two-view bootstrap: relative pose with unit baseline (gauge).
+            tv = two_view_pipeline(key, m.xy1, m.xy2, m.mask, kmat,
+                                   threshold=config.ransac_threshold,
+                                   num_samples=config.ransac_samples)
+            # two_view maps cam(prev=frame0) -> cam(cur=frame1)... but the
+            # pipeline was called with xy1=cur, xy2=prev, so invert.
+            r10 = tv.r
+            t10 = tv.t
+            # (R, t) maps frame-1 coords to frame-0: invert to get frame 1 pose
+            rs = rs.at[1].set(r10.T)
+            ts = ts.at[1].set(-r10.T @ t10)
+        else:
+            rs = rs.at[t].set(rs[t - 1])
+            ts = ts.at[t].set(ts[t - 1])
+            # motion-only BA on all frames so far (only camera t free)
+            state = BAState(rs=rs, ts=ts, points=table.points)
+            prob = BAProblem(obs=table.obs,
+                             mask=table.obs_mask & table.has_point[None, :],
+                             k=kmat)
+            fixed = jnp.zeros((num_frames,)).at[t].set(1.0)
+            res = bundle_adjust(state, prob, num_iterations=10,
+                                fixed_cameras=fixed, optimize_points=False)
+            rs, ts = res.state.rs, res.state.ts
+
+        first, last = first_last_observations(table)
+        table = _triangulate_tracks(table, rs, ts, kmat, first, last,
+                                    config.min_depth, config.max_depth)
+
+        # windowed full BA: freeze cameras before the window and frame 0/1
+        state = BAState(rs=rs, ts=ts, points=table.points)
+        prob = BAProblem(obs=table.obs,
+                         mask=table.obs_mask & table.has_point[None, :],
+                         k=kmat)
+        w0 = max(0, t + 1 - config.window)
+        fixed = jnp.zeros((num_frames,))
+        fixed = fixed.at[jnp.arange(w0, t + 1)].set(1.0)
+        fixed = fixed.at[0].set(0.0)  # gauge
+        res = bundle_adjust(state, prob,
+                            num_iterations=config.ba_iterations,
+                            fixed_cameras=fixed)
+        rs, ts = res.state.rs, res.state.ts
+        table = table._replace(points=res.state.points)
+        table = _prune_observations(table, rs, ts, kmat, config.prune_px)
+        costs.append(float(res.cost))
+        prev = cur
+
+    return SfmResult(rs, ts, table, costs)

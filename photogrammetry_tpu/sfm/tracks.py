@@ -1,0 +1,105 @@
+"""Feature-track bookkeeping over an image sequence, static-shape.
+
+The reference is strictly two-view (SURVEY.md §0); multi-view tracks are new
+north-star infrastructure.  A TrackTable is a fixed-capacity (F frames x T
+tracks) observation grid — exactly the dense layout bundle adjustment
+consumes (sfm/ba.py) — plus per-track landmark state.  Track extension is a
+pure jitted scatter: matches chain a new frame's keypoints onto the tracks
+of the previous frame's keypoints; unmatched keypoints open new tracks until
+capacity is exhausted (dropped beyond that, counted in ``dropped``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TrackTable(NamedTuple):
+    obs: jnp.ndarray          # (F, T, 2) float32 observed pixel (x, y)
+    obs_mask: jnp.ndarray     # (F, T) bool
+    points: jnp.ndarray       # (T, 3) float32 landmark positions
+    has_point: jnp.ndarray    # (T,) bool
+    kp_track: jnp.ndarray     # (K,) int32: track id of latest frame's kp i (-1 none)
+    num_tracks: jnp.ndarray   # () int32 allocated tracks
+    dropped: jnp.ndarray      # () int32 keypoints dropped at capacity
+
+
+def make_track_table(num_frames: int, capacity: int,
+                     max_keypoints: int) -> TrackTable:
+    return TrackTable(
+        obs=jnp.zeros((num_frames, capacity, 2), jnp.float32),
+        obs_mask=jnp.zeros((num_frames, capacity), bool),
+        points=jnp.zeros((capacity, 3), jnp.float32),
+        has_point=jnp.zeros((capacity,), bool),
+        kp_track=jnp.full((max_keypoints,), -1, jnp.int32),
+        num_tracks=jnp.int32(0),
+        dropped=jnp.int32(0),
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def start_tracks(table: TrackTable, frame_idx: jnp.ndarray,
+                 xy: jnp.ndarray, kp_mask: jnp.ndarray) -> TrackTable:
+    """Open a new track for every valid keypoint of the first frame."""
+    cap = table.points.shape[0]
+    k = xy.shape[0]
+    order = jnp.cumsum(kp_mask.astype(jnp.int32)) - 1       # slot per kp
+    tid = jnp.where(kp_mask, order, -1)
+    fit = tid < cap
+    tid = jnp.where(fit, tid, -1)
+    # invalid keypoints scatter to index `cap` (out of bounds) and are
+    # dropped — never aliased onto a real slot.
+    tid_w = jnp.where(tid >= 0, tid, cap)
+    obs = table.obs.at[frame_idx, tid_w].set(xy, mode="drop")
+    obs_mask = table.obs_mask.at[frame_idx, tid_w].set(True, mode="drop")
+    return table._replace(
+        obs=obs, obs_mask=obs_mask, kp_track=tid.astype(jnp.int32),
+        num_tracks=jnp.minimum(jnp.sum(kp_mask), cap).astype(jnp.int32),
+        dropped=table.dropped + jnp.sum(kp_mask & ~fit).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=())
+def extend_tracks(table: TrackTable, frame_idx: jnp.ndarray,
+                  xy: jnp.ndarray, kp_mask: jnp.ndarray,
+                  match_prev: jnp.ndarray,
+                  match_valid: jnp.ndarray) -> TrackTable:
+    """Chain frame ``frame_idx`` keypoints onto existing tracks.
+
+    match_prev: (K,) int32 — index of the matching keypoint in the previous
+    frame (per mutual_nearest_matches on THIS frame's rows); match_valid (K,).
+    """
+    cap = table.points.shape[0]
+    prev_tid = table.kp_track[jnp.clip(match_prev, 0)]
+    chained = match_valid & kp_mask & (prev_tid >= 0)
+    tid = jnp.where(chained, prev_tid, -1)
+
+    # allocate fresh tracks for valid-but-unmatched keypoints
+    need_new = kp_mask & ~chained
+    slot = table.num_tracks + jnp.cumsum(need_new.astype(jnp.int32)) - 1
+    fits = slot < cap
+    tid = jnp.where(need_new & fits, slot, tid)
+
+    tid_w = jnp.where(tid >= 0, tid, cap)  # OOB => dropped, never aliased
+    obs = table.obs.at[frame_idx, tid_w].set(xy, mode="drop")
+    obs_mask = table.obs_mask.at[frame_idx, tid_w].set(True, mode="drop")
+
+    new_alloc = jnp.sum(need_new & fits).astype(jnp.int32)
+    return table._replace(
+        obs=obs, obs_mask=obs_mask, kp_track=tid.astype(jnp.int32),
+        num_tracks=jnp.minimum(table.num_tracks + new_alloc, cap),
+        dropped=table.dropped + jnp.sum(need_new & ~fits).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=())
+def first_last_observations(table: TrackTable):
+    """Per track: (first_frame, last_frame) observing it (int32, -1 if <1)."""
+    f = table.obs.shape[0]
+    frames = jnp.arange(f, dtype=jnp.int32)[:, None]
+    m = table.obs_mask
+    first = jnp.min(jnp.where(m, frames, f), axis=0)
+    last = jnp.max(jnp.where(m, frames, -1), axis=0)
+    first = jnp.where(first == f, -1, first)
+    return first, last

@@ -39,7 +39,7 @@ class StarSceneConfig:
     # Textured backdrop: distinctive random dots at varying depth around the
     # star so BRIEF descriptors are discriminative (a bare star is highly
     # self-similar) and two-view geometry is well-conditioned.
-    num_dots: int = 120
+    num_dots: int = 160
     # radius 2 < FAST ring radius 3, so every dot center is a strong corner
     dot_radius: int = 2
     dot_seed: int = 7
@@ -47,8 +47,12 @@ class StarSceneConfig:
     # z = depth + backdrop_offset: gives BRIEF descriptors discriminative,
     # view-consistent context (a bare dot field is locally self-similar).
     backdrop_offset: float = 3.0
-    backdrop_amplitude: float = 90.0
+    backdrop_amplitude: float = 60.0
     backdrop_scale: float = 2.5     # noise cells per world unit
+    # Anti-aliasing: render at supersample x resolution and box-downsample.
+    # Hard binary edges bias subpixel corner localization by +-0.5 px, which
+    # dominates small-baseline geometry error.
+    supersample: int = 2
 
 
 def star_points_3d(cfg: StarSceneConfig) -> np.ndarray:
@@ -71,7 +75,9 @@ def dot_points_3d(cfg: StarSceneConfig):
     # keep dots off the star silhouette so its corners stay clean
     rad = np.hypot(pts[:, 0], pts[:, 1])
     pts = pts[rad > cfg.outer_radius * 1.15]
-    intens = rng.integers(60, 220, len(pts))
+    # bright enough that |dot - backdrop| always clears the FAST
+    # threshold (backdrop <= amplitude 60, threshold 50)
+    intens = rng.integers(130, 255, len(pts))
     return pts, intens
 
 
@@ -150,6 +156,26 @@ def _render_backdrop(cfg: StarSceneConfig, r: np.ndarray, t: np.ndarray,
 
 def render_frame(cfg: StarSceneConfig, r: np.ndarray, t: np.ndarray,
                  k: np.ndarray) -> np.ndarray:
+    """Anti-aliased render: supersample then box-downsample."""
+    s = cfg.supersample
+    if s <= 1:
+        return _render_frame_raw(cfg, r, t, k)
+    h, w = cfg.image_size
+    k_hi = k.copy().astype(np.float64)
+    k_hi[0] = k[0] * s
+    k_hi[1] = k[1] * s
+    k_hi[0, 2] += (s - 1) / 2.0
+    k_hi[1, 2] += (s - 1) / 2.0
+    import dataclasses
+    cfg_hi = dataclasses.replace(cfg, image_size=(h * s, w * s),
+                                 dot_radius=cfg.dot_radius * s)
+    hi = _render_frame_raw(cfg_hi, r, t, k_hi).astype(np.float32)
+    low = hi.reshape(h, s, w, s).mean(axis=(1, 3))
+    return np.round(low).astype(np.uint8)
+
+
+def _render_frame_raw(cfg: StarSceneConfig, r: np.ndarray, t: np.ndarray,
+                      k: np.ndarray) -> np.ndarray:
     """Rasterize backdrop + filled star polygon + dots → (H, W) uint8."""
     h, w = cfg.image_size
     poly = project_scene(star_points_3d(cfg), r, t, k)  # (2n, 2) x,y

@@ -1,0 +1,128 @@
+"""Bundle adjustment tests against exact synthetic ground truth."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from photogrammetry_tpu.core.lie import so3_exp
+from photogrammetry_tpu.sfm.ba import (
+    BAProblem, BAState, bundle_adjust, project, residuals_and_jacobians,
+)
+from photogrammetry_tpu.sfm.metrics import absolute_trajectory_error
+from photogrammetry_tpu.synth.star_scene import (
+    StarSceneConfig, star_points_3d, dot_points_3d, pan_trajectory, intrinsics,
+)
+
+
+def make_problem(noise_px=0.3, pose_noise=0.02, point_noise=0.05, seed=0,
+                 num_frames=8):
+    cfg = StarSceneConfig(num_frames=num_frames)
+    rng = np.random.default_rng(seed)
+    dots, _ = dot_points_3d(cfg)
+    pts = np.concatenate([star_points_3d(cfg), dots]).astype(np.float32)
+    rs, ts, centers = pan_trajectory(cfg)
+    k = intrinsics(cfg)
+
+    obs, z, _ = project(jnp.asarray(rs, jnp.float32), jnp.asarray(ts, jnp.float32),
+                        jnp.asarray(pts), jnp.asarray(k))
+    obs = np.asarray(obs) + rng.normal(0, noise_px, np.asarray(obs).shape)
+    h, w = cfg.image_size
+    mask = ((obs[..., 0] > 0) & (obs[..., 0] < w)
+            & (obs[..., 1] > 0) & (obs[..., 1] < h) & (np.asarray(z) > 0))
+
+    # perturb initial state (keep camera 0 exact: it is the gauge)
+    rs_n = rs.copy()
+    ts_n = ts.copy()
+    for i in range(1, num_frames):
+        dw = rng.normal(0, pose_noise, 3)
+        rs_n[i] = np.asarray(so3_exp(jnp.asarray(dw, jnp.float32))) @ rs[i]
+        ts_n[i] = ts[i] + rng.normal(0, pose_noise * 5, 3)
+    pts_n = pts + rng.normal(0, point_noise, pts.shape)
+
+    state = BAState(rs=jnp.asarray(rs_n, jnp.float32),
+                    ts=jnp.asarray(ts_n, jnp.float32),
+                    points=jnp.asarray(pts_n, jnp.float32))
+    prob = BAProblem(obs=jnp.asarray(obs, jnp.float32),
+                     mask=jnp.asarray(mask), k=jnp.asarray(k))
+    return state, prob, rs, ts, centers, pts
+
+
+def camera_centers(rs, ts):
+    return -np.einsum("fji,fj->fi", np.asarray(rs), np.asarray(ts))
+
+
+def test_jacobians_match_autodiff():
+    state, prob, *_ = make_problem(noise_px=0.0)
+
+    def flat_residuals(rs, ts, points):
+        pred, z, _ = project(rs, ts, points, prob.k)
+        r = (pred - prob.obs) * prob.mask[..., None]
+        return r
+
+    r, j_cam, j_pt, _ = residuals_and_jacobians(state, prob, huber_delta=1e9)
+
+    # autodiff J wrt points for a spot-check subset
+    jac = jax.jacobian(lambda p: flat_residuals(state.rs, state.ts, p))(
+        state.points)
+    # jac: (F,T,2,T,3); extract diagonal blocks
+    t = state.points.shape[0]
+    diag = np.asarray(jac)[:, np.arange(t), :, np.arange(t), :]  # (T,F,2,3)
+    got = np.asarray(j_pt).transpose(1, 0, 2, 3)                  # (T,F,2,3)
+    m = np.asarray(prob.mask).T[..., None, None]
+    np.testing.assert_allclose(got * m, diag * m, atol=1e-3)
+
+
+def test_ba_converges_from_noisy_init():
+    state, prob, rs_gt, ts_gt, centers_gt, pts_gt = make_problem()
+    res = bundle_adjust(state, prob, num_iterations=25)
+    assert float(res.cost) < 0.05 * float(res.initial_cost)
+
+    est_centers = camera_centers(res.state.rs, res.state.ts)
+    ate = float(absolute_trajectory_error(jnp.asarray(est_centers),
+                                          jnp.asarray(centers_gt)))
+    assert ate < 0.01, ate  # world units; trajectory spans ~2.4
+
+
+def test_ba_noiseless_reaches_zero():
+    state, prob, *_ = make_problem(noise_px=0.0, pose_noise=0.01,
+                                   point_noise=0.02)
+    res = bundle_adjust(state, prob, num_iterations=25)
+    # pixel RMSE ~ sqrt(2*cost/Nobs)
+    nobs = float(np.asarray(prob.mask).sum())
+    rmse = np.sqrt(2 * float(res.cost) / nobs)
+    assert rmse < 0.05, rmse
+
+
+def test_gauge_camera_fixed():
+    state, prob, *_ = make_problem()
+    r0 = np.asarray(state.rs[0]).copy()
+    t0 = np.asarray(state.ts[0]).copy()
+    res = bundle_adjust(state, prob, num_iterations=10)
+    np.testing.assert_allclose(np.asarray(res.state.rs[0]), r0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.state.ts[0]), t0, atol=1e-6)
+
+
+def test_motion_only_ba():
+    state, prob, rs_gt, ts_gt, *_ = make_problem(point_noise=0.0)
+    res = bundle_adjust(state, prob, num_iterations=15, optimize_points=False)
+    # points untouched
+    np.testing.assert_allclose(np.asarray(res.state.points),
+                               np.asarray(state.points), atol=1e-7)
+    assert float(res.cost) < 0.2 * float(res.initial_cost)
+
+
+def test_ba_robust_to_outliers():
+    state, prob, rs_gt, ts_gt, centers_gt, pts_gt = make_problem()
+    rng = np.random.default_rng(21)
+    obs = np.asarray(prob.obs).copy()
+    mask = np.asarray(prob.mask)
+    # corrupt 5% of valid observations with gross errors
+    vi = np.argwhere(mask)
+    sel = vi[rng.choice(len(vi), len(vi) // 20, replace=False)]
+    obs[sel[:, 0], sel[:, 1]] += rng.uniform(30, 80, (len(sel), 2))
+    prob2 = BAProblem(obs=jnp.asarray(obs), mask=prob.mask, k=prob.k)
+    res = bundle_adjust(state, prob2, num_iterations=30, huber_delta=2.0)
+    est_centers = camera_centers(res.state.rs, res.state.ts)
+    ate = float(absolute_trajectory_error(jnp.asarray(est_centers),
+                                          jnp.asarray(centers_gt)))
+    assert ate < 0.02, ate

@@ -1,0 +1,71 @@
+"""Incremental SfM over the synthetic camera-pan sequence: the ATE oracle."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from photogrammetry_tpu.sfm.incremental import SfmConfig, run_incremental_sfm
+from photogrammetry_tpu.sfm.metrics import absolute_trajectory_error
+from photogrammetry_tpu.sfm.tracks import (
+    extend_tracks, first_last_observations, make_track_table, start_tracks,
+)
+from photogrammetry_tpu.synth.star_scene import StarSceneConfig, generate_sequence
+
+
+# ---------------------------------------------------------------- tracks
+def test_track_lifecycle():
+    table = make_track_table(num_frames=3, capacity=8, max_keypoints=4)
+    xy0 = np.array([[10.0, 10], [20, 20], [30, 30], [0, 0]], np.float32)
+    mask0 = np.array([True, True, True, False])
+    table = start_tracks(table, jnp.int32(0), xy0, mask0)
+    assert int(table.num_tracks) == 3
+    assert np.asarray(table.obs_mask)[0, :3].all()
+
+    # frame 1: kp0 matches prev kp1, kp1 matches prev kp2, kp2 unmatched new
+    xy1 = np.array([[21.0, 21], [31, 31], [50, 50], [0, 0]], np.float32)
+    mask1 = np.array([True, True, True, False])
+    match_prev = np.array([1, 2, -1, -1], np.int32)
+    match_valid = np.array([True, True, False, False])
+    table = extend_tracks(table, jnp.int32(1), xy1, mask1, match_prev,
+                          match_valid)
+    assert int(table.num_tracks) == 4
+    om = np.asarray(table.obs_mask)
+    assert om[1, 1] and om[1, 2] and om[1, 3]
+    np.testing.assert_allclose(np.asarray(table.obs)[1, 1], [21, 21])
+
+    first, last = first_last_observations(table)
+    first, last = np.asarray(first), np.asarray(last)
+    assert first[1] == 0 and last[1] == 1     # extended track
+    assert first[3] == 1 and last[3] == 1     # new track
+    assert first[0] == 0 and last[0] == 0     # lost track
+
+
+def test_track_capacity_drop():
+    table = make_track_table(num_frames=2, capacity=2, max_keypoints=4)
+    xy = np.zeros((4, 2), np.float32)
+    mask = np.ones(4, bool)
+    table = start_tracks(table, jnp.int32(0), xy, mask)
+    assert int(table.num_tracks) == 2
+    assert int(table.dropped) == 2
+
+
+# ----------------------------------------------------------- incremental
+@pytest.mark.slow
+def test_incremental_sfm_ate():
+    """Full images → trajectory.  The bound reflects the current frontend's
+    localization quality on this deliberately sparse scene: FAST star-tip
+    detections carry a viewpoint-dependent ~1 px inward bias (measured in
+    round-1 analysis; clean observations on the same track graph reach ATE
+    0.02).  Tightening this bound is a frontend (detector/ANMS/KLT) work
+    item, not a BA one."""
+    from photogrammetry_tpu.sfm.frontend import FrontendConfig
+    scene = generate_sequence(StarSceneConfig(num_frames=8, supersample=4))
+    cfg = SfmConfig(frontend=FrontendConfig(
+        detection_threshold=20.0, max_keypoints=384, reduction="nms",
+        suppression_radius=4.0, hamming_threshold=80), prune_px=1.5)
+    res = run_incremental_sfm(scene["frames"], scene["k"], cfg)
+    centers_gt = scene["centers"]
+    est = res.camera_centers
+    ate = float(absolute_trajectory_error(jnp.asarray(est),
+                                          jnp.asarray(centers_gt)))
+    assert ate < 0.2, f"ATE {ate}"  # trajectory spans 2.4 world units
+    assert len(res.points) > 40
