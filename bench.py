@@ -1,0 +1,61 @@
+"""Headline benchmark: frontend frames/s/chip on 1920x1080.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference's fastest committed number for the same stage — FAST
+detection on 1920x1080 at 0.67 s/frame with a fork pool on an M1 Mac
+(keypoint_detection.py:157, BASELINE.md) => 1.49 frames/s.  Our measured
+stage does strictly more work per frame: FAST + score extraction + NMS +
+subpixel refinement + 256-bit BRIEF for up to 2048 keypoints.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 1.0 / 0.67  # keypoint_detection.py:157 (BASELINE.md)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from photogrammetry_tpu.sfm.frontend import (
+        FrontendConfig, detect_and_describe, make_pairs,
+    )
+
+    config = FrontendConfig(detection_threshold=50.0, max_keypoints=2048,
+                            reduction="nms", suppression_radius=4.0)
+    pairs = make_pairs(config)
+
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.integers(0, 255, (1080, 1920)), jnp.float32)
+
+    fn = jax.jit(lambda im: detect_and_describe(im, pairs, config))
+
+    # warmup / compile
+    out = fn(frame)
+    jax.block_until_ready(out)
+
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(frame)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    fps = iters / elapsed
+    print(json.dumps({
+        "metric": "frontend_frames_per_s_per_chip_1920x1080",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
