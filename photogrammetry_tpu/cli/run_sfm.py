@@ -1,0 +1,94 @@
+"""Run incremental SfM over an image sequence; export trajectory + cloud.
+
+The framework's top-level driver (the analogue of the reference's
+TestService hosted pipeline, TestService.cs:47-56, extended to the full
+multi-view north star).  Accepts a directory of frames (sorted) or the
+built-in synthetic star pan with exact ground truth for ATE reporting.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("frames", nargs="?", default=None,
+                    help="directory of image frames; omit for the synthetic "
+                         "star-pan sequence")
+    ap.add_argument("--synthetic-frames", type=int, default=8)
+    ap.add_argument("--fx", type=float, default=None)
+    ap.add_argument("--cx", type=float, default=None)
+    ap.add_argument("--cy", type=float, default=None)
+    ap.add_argument("--detection-threshold", type=float, default=20.0)
+    ap.add_argument("--cloud", default="cloud.ply")
+    ap.add_argument("--trajectory", default="trajectory.json")
+    ap.add_argument("--stats", default=None)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from photogrammetry_tpu.io.ply import write_ply
+    from photogrammetry_tpu.sfm.frontend import FrontendConfig
+    from photogrammetry_tpu.sfm.incremental import SfmConfig, run_incremental_sfm
+    from photogrammetry_tpu.utils.profiling import StageTimer, append_stats
+
+    timer = StageTimer()
+    gt_centers = None
+    if args.frames is None:
+        from photogrammetry_tpu.synth.star_scene import (
+            StarSceneConfig, generate_sequence,
+        )
+        scene = generate_sequence(StarSceneConfig(
+            num_frames=args.synthetic_frames, supersample=4))
+        frames = scene["frames"]
+        k = scene["k"]
+        gt_centers = scene["centers"]
+    else:
+        import glob
+        import os
+
+        from photogrammetry_tpu.cli.common import load_gray
+
+        paths = sorted(glob.glob(os.path.join(args.frames, "*")))
+        if len(paths) < 2:
+            ap.error(f"need >= 2 frames in {args.frames}")
+        frames = np.stack([load_gray(p) for p in paths])
+        h, w = frames.shape[1:3]
+        fx = args.fx or 1.2 * w
+        k = np.array([[fx, 0, args.cx or w / 2],
+                      [0, fx, args.cy or h / 2],
+                      [0, 0, 1]], np.float32)
+
+    cfg = SfmConfig(frontend=FrontendConfig(
+        detection_threshold=args.detection_threshold, max_keypoints=384,
+        reduction="nms", suppression_radius=4.0, hamming_threshold=80),
+        prune_px=1.5)
+    with timer.stage("sfm"):
+        res = run_incremental_sfm(frames, k, cfg)
+
+    write_ply(args.cloud, res.points)
+    traj = {"centers": res.camera_centers.tolist(),
+            "rotations": res.rs.tolist(),
+            "translations": res.ts.tolist()}
+    report = {"frames": len(frames), "landmarks": len(res.points),
+              "final_cost": res.costs[-1] if res.costs else None,
+              "timings": timer.summary()}
+    if gt_centers is not None:
+        import jax.numpy as jnp
+
+        from photogrammetry_tpu.sfm.metrics import absolute_trajectory_error
+
+        report["ate"] = float(absolute_trajectory_error(
+            jnp.asarray(res.camera_centers), jnp.asarray(gt_centers)))
+    with open(args.trajectory, "w") as fh:
+        json.dump(traj, fh)
+    print(json.dumps(report))
+    print(f"wrote {args.cloud}, {args.trajectory}")
+    if args.stats:
+        append_stats(args.stats, report)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -38,21 +38,30 @@ def so3_exp(w):
 
 
 def so3_log(r):
-    """Rotation matrix (…, 3, 3) → axis-angle (…, 3)."""
+    """Rotation matrix (…, 3, 3) → axis-angle (…, 3).
+
+    Autodiff-safe at the identity: theta comes from atan2(|sin|, cos) (not
+    arccos, whose derivative blows up at 1) and every sqrt/division sees a
+    guarded argument so jacfwd/jacrev of downstream residuals stay finite —
+    pose-graph edge Jacobians are taken through this function at
+    near-identity error transforms (sfm/pose_graph.py).
+    """
     trace = r[..., 0, 0] + r[..., 1, 1] + r[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     vee = jnp.stack([
         r[..., 2, 1] - r[..., 1, 2],
         r[..., 0, 2] - r[..., 2, 0],
         r[..., 1, 0] - r[..., 0, 1],
     ], -1)
-    sin_t = jnp.sin(theta)
-    small = jnp.abs(sin_t) < _EPS
+    sin_sq = jnp.sum(vee * vee, axis=-1) / 4.0
+    sin_t = jnp.sqrt(sin_sq + 1e-24)          # |sin theta|, safe gradient
+    theta = jnp.arctan2(sin_t, cos_t)
+    small = sin_sq < _EPS ** 2
+    sin_safe = jnp.where(small, 1.0, sin_t)
     scale = jnp.where(small, 0.5 + theta * theta / 12.0,
-                      theta / jnp.maximum(2.0 * sin_t, _EPS))
-    # Note: near theta == pi the vee-based formula degrades; BA retractions
-    # keep increments small so that regime is not hit in practice.
+                      theta / (2.0 * sin_safe))
+    # Note: near theta == pi the vee-based formula degrades; BA/pose-graph
+    # retractions keep increments small so that regime is not hit in practice.
     return scale[..., None] * vee
 
 
@@ -74,16 +83,19 @@ def se3_exp(xi):
 
 
 def se3_log(r, t):
-    """(R, t) → twist (…, 6) [w | v]."""
+    """(R, t) → twist (…, 6) [w | v].  Autodiff-safe at identity (see
+    so3_log); the small-angle branch uses guarded denominators so the
+    untaken branch never produces NaN under jacfwd (JAX where-grad rule)."""
     w = so3_log(r)
-    theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS ** 2))
+    theta2 = jnp.sum(w * w, axis=-1) + 1e-24
+    theta = jnp.sqrt(theta2)
     small = theta2 < _EPS
     half = theta / 2.0
+    sin_half = jnp.where(small, 1.0, jnp.sin(half))
+    theta2_safe = jnp.where(small, 1.0, theta2)
     cot_term = jnp.where(
         small, 1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - half * jnp.cos(half) / jnp.maximum(jnp.sin(half), _EPS))
-        / jnp.maximum(theta2, _EPS))
+        (1.0 - half * jnp.cos(half) / sin_half) / theta2_safe)
     k = so3_hat(w)
     eye = jnp.eye(3, dtype=r.dtype)
     vinv = eye - 0.5 * k + cot_term[..., None, None] * (k @ k)

@@ -1,0 +1,107 @@
+"""Pallas TPU kernel: fused FAST-16 score-map stencil.
+
+One kernel evaluates the full ring test for a band of rows: the haloed input
+band is DMA'd from HBM into VMEM scratch (overlapping reads expressed as
+explicit async copies — the canonical halo pattern), the band test and the
+circular-run-length recurrence run as VPU ops with a single live mask, and
+only the int32 score band is written back.  The 16 (H, W) shifted
+intermediates of the XLA formulation (ops/fast.py) never touch HBM.
+
+STATUS (round 1): bit-exact against ops.fast.fast_score_map in interpret
+mode (tests/test_kernels.py) but NOT enabled in the production path — the
+axon-tunnel AOT compiler hangs (>9 min, no error) lowering this kernel on
+the current image (both this DMA formulation and an Element-indexed
+overlapping-block variant; the plain-matmul hamming kernel compiles fine).
+The XLA stencil in ops/fast.py remains the default; revisit with a native
+TPU runtime.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from photogrammetry_tpu.ops.fast import BORDER, MIN_CONSECUTIVE, RING_OFFSETS
+
+TILE_H = 64
+# halo of 4 (not the minimal 3): keeps DMA'd band rows 8-aligned
+HALO = 4
+
+
+def _make_kernel(wp: int):
+    def kernel(thr_ref, img_hbm, out_ref):
+        h = out_ref.shape[0]
+        w = out_ref.shape[1]
+        i = pl.program_id(0)
+
+        def body(band, sem):
+            copy = pltpu.make_async_copy(
+                img_hbm.at[pl.ds(i * TILE_H, TILE_H + 2 * HALO), :],
+                band, sem)
+            copy.start()
+            copy.wait()
+
+            thr = thr_ref[0]
+            center = band[HALO:HALO + h, HALO:HALO + w]
+            lower = center - thr
+            upper = center + thr
+
+            run = jnp.zeros((h, w), jnp.int32)
+            best = jnp.zeros((h, w), jnp.int32)
+            # longest circular run of out-of-band ring pixels (doubled ring,
+            # backward recurrence; one live mask at a time)
+            for k in range(31, -1, -1):
+                dr, dc = RING_OFFSETS[k % 16]
+                s = band[HALO + dr:HALO + dr + h, HALO + dc:HALO + dc + w]
+                m = ((s <= lower) | (s >= upper)).astype(jnp.int32)
+                run = m * (1 + run)
+                if k < 16:
+                    best = jnp.maximum(best, run)
+            score = jnp.minimum(best, 16)
+            out_ref[:] = jnp.where(score >= MIN_CONSECUTIVE, score, 0)
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((TILE_H + 2 * HALO, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fast_score_map_pallas(image: jnp.ndarray, threshold,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Drop-in Pallas replacement for ops.fast.fast_score_map."""
+    h, w = image.shape
+    img = image.astype(jnp.float32)
+
+    pad_h = (-h) % TILE_H
+    pad_w = (-(w + 2 * HALO)) % 128
+    padded = jnp.pad(img, ((HALO, HALO + pad_h), (HALO, HALO + pad_w)))
+    hp = h + pad_h
+    wp = w + 2 * HALO + pad_w
+    thr = jnp.full((1,), threshold, jnp.float32)
+
+    out = pl.pallas_call(
+        _make_kernel(wp),
+        out_shape=jax.ShapeDtypeStruct((hp, w), jnp.int32),
+        grid=(hp // TILE_H,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold scalar
+            pl.BlockSpec(memory_space=pltpu.ANY),   # image stays in HBM
+        ],
+        out_specs=pl.BlockSpec((TILE_H, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(thr, padded)
+
+    score = out[:h, :]
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+    interior = ((rows >= BORDER) & (rows < h - BORDER)
+                & (cols >= BORDER) & (cols < w - BORDER))
+    return jnp.where(interior, score, 0)

@@ -52,6 +52,7 @@ class FrontendConfig:
     hamming_threshold: int = 75
     pair_seed: int = 0
     subpixel: bool = True             # refine corners before geometry
+    use_pallas_matching: bool = False  # tiled Pallas Hamming kernel (TPU)
 
 
 class DescribedFrame(NamedTuple):
@@ -106,8 +107,18 @@ class MatchedPair(NamedTuple):
 def match_pair(f1: DescribedFrame, f2: DescribedFrame,
                config: FrontendConfig) -> MatchedPair:
     """Mutual-nearest Hamming matching between two described frames."""
-    d = hamming_distance_matrix(f1.bits, f2.bits, f1.points.mask,
-                                f2.points.mask)
+    if config.use_pallas_matching:
+        from photogrammetry_tpu.kernels.hamming import (
+            hamming_distance_matrix_pallas,
+        )
+        from photogrammetry_tpu.ops.match import INT_INF
+
+        d = hamming_distance_matrix_pallas(f1.bits, f2.bits)
+        d = jnp.where(f1.points.mask[:, None], d, INT_INF)
+        d = jnp.where(f2.points.mask[None, :], d, INT_INF)
+    else:
+        d = hamming_distance_matrix(f1.bits, f2.bits, f1.points.mask,
+                                    f2.points.mask)
     idx2, dist, valid = mutual_nearest_matches(d, config.hamming_threshold)
     xy1 = f1.xy
     xy2 = f2.xy[jnp.clip(idx2, 0)]
