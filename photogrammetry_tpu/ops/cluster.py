@@ -124,40 +124,46 @@ def hierarchical_cluster_exact(coords: np.ndarray,
     coords: (N, 2) int array.  Returns (M, 2) int32 rounded centroids in the
     reference's output order (iteration over surviving cluster ids).
     """
-    centers = {i: coords[i].astype(np.float64) for i in range(len(coords))}
-    counts = {i: 1 for i in range(len(coords))}
+    import heapq
+
+    n0 = len(coords)
+    centers = {i: coords[i].astype(np.float64) for i in range(n0)}
+    counts = {i: 1 for i in range(n0)}
     active = set(centers)
-    next_id = len(coords)
+    next_id = n0
 
-    # (dist, c1, c2) list kept sorted by dist only — stable, so insertion
-    # order breaks ties exactly as the reference's list.sort (hierarchical.py:78).
-    pairs = []
-    for j in range(len(coords)):
-        for i in range(j):
-            d = float(np.abs(centers[i] - centers[j]).sum())
-            if d <= max_merge_dist:
-                pairs.append((d, i, j))
-    pairs.sort(key=lambda t: t[0])
+    # Min-heap keyed by (distance, insertion sequence): pops in exactly the
+    # order of the reference's stable sort-by-distance pair list
+    # (hierarchical.py:32,78 — ties break by insertion order).  Pairs whose
+    # clusters died are lazily skipped (the reference deletes them eagerly,
+    # hierarchical.py:89-93; pop order is identical).
+    heap = []
+    seq = 0
+    if n0 > 1:
+        arr = coords.astype(np.float64)
+        for j in range(n0):
+            d = np.abs(arr[:j] - arr[j]).sum(axis=1)
+            for i in np.nonzero(d <= max_merge_dist)[0]:
+                heapq.heappush(heap, (d[i], seq, int(i), j))
+                seq += 1
 
-    while pairs:
-        d, c1, c2 = pairs.pop(0)
+    while heap:
+        dist, _, c1, c2 = heapq.heappop(heap)
+        if c1 not in active or c2 not in active:
+            continue
         active.discard(c1)
         active.discard(c2)
-        pairs = [p for p in pairs if p[1] not in (c1, c2) and p[2] not in (c1, c2)]
         n = counts[c1] + counts[c2]
         center = (centers[c1] * counts[c1] + centers[c2] * counts[c2]) / n
         cid = next_id
         next_id += 1
         centers[cid] = center
         counts[cid] = n
-        new_pairs = []
         for other in active:
             dd = float(np.abs(centers[other] - center).sum())
             if dd <= max_merge_dist:
-                new_pairs.append((dd, other, cid))
-        if new_pairs:
-            pairs.extend(new_pairs)
-            pairs.sort(key=lambda t: t[0])
+                heapq.heappush(heap, (dd, seq, other, cid))
+                seq += 1
         active.add(cid)
 
     out = [np.round(centers[i]).astype(np.int32) for i in sorted(active)]
