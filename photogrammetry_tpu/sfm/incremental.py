@@ -129,8 +129,16 @@ class SfmResult:
 
 def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                         config: SfmConfig | None = None,
-                        seed: int = 0) -> SfmResult:
-    """frames: (F, H, W) grayscale uint8/float; k: (3, 3) intrinsics."""
+                        seed: int = 0,
+                        checkpoint_path: str | None = None,
+                        checkpoint_every: int = 4,
+                        resume: bool = True) -> SfmResult:
+    """frames: (F, H, W) grayscale uint8/float; k: (3, 3) intrinsics.
+
+    With checkpoint_path set, (poses, landmarks, track table) snapshot
+    atomically every ``checkpoint_every`` frames and a rerun resumes from
+    the latest snapshot (store/checkpoint.py).
+    """
     config = config or SfmConfig()
     fc = config.frontend
     num_frames = len(frames)
@@ -143,11 +151,35 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
     rs = jnp.tile(jnp.eye(3)[None], (num_frames, 1, 1))
     ts = jnp.zeros((num_frames, 3))
     costs = []
+    start_frame = 1
 
-    prev = detect_and_describe(jnp.asarray(frames[0], jnp.float32), pairs, fc)
-    table = start_tracks(table, jnp.int32(0), prev.xy, prev.points.mask)
+    import os
 
-    for t in range(1, num_frames):
+    if checkpoint_path and resume and os.path.isfile(checkpoint_path):
+        from photogrammetry_tpu.store.checkpoint import load_checkpoint
+
+        rs, ts, table, done, _ = load_checkpoint(checkpoint_path)
+        if done + 1 >= num_frames:
+            return SfmResult(rs, ts, table, costs)
+        start_frame = done + 1
+        prev = detect_and_describe(jnp.asarray(frames[done], jnp.float32),
+                                   pairs, fc)
+        # restore the kp->track mapping of the resumed frame by re-matching
+        # its keypoints against the stored observation row
+        obs_row = table.obs[done]
+        d = jnp.linalg.norm(prev.xy[:, None, :] - obs_row[None], axis=-1)
+        d = jnp.where(table.obs_mask[done][None, :], d, 1e9)
+        nearest = jnp.argmin(d, axis=1)
+        ok = (jnp.take_along_axis(d, nearest[:, None], axis=1)[:, 0] < 0.5) \
+            & prev.points.mask
+        table = table._replace(
+            kp_track=jnp.where(ok, nearest, -1).astype(jnp.int32))
+    else:
+        prev = detect_and_describe(jnp.asarray(frames[0], jnp.float32),
+                                   pairs, fc)
+        table = start_tracks(table, jnp.int32(0), prev.xy, prev.points.mask)
+
+    for t in range(start_frame, num_frames):
         cur = detect_and_describe(jnp.asarray(frames[t], jnp.float32),
                                   pairs, fc)
         m = match_pair(cur, prev, fc)  # rows = current frame's keypoints
@@ -207,5 +239,12 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
         table = _prune_observations(table, rs, ts, kmat, config.prune_px)
         costs.append(float(res.cost))
         prev = cur
+
+        if checkpoint_path and (t % checkpoint_every == 0
+                                or t == num_frames - 1):
+            from photogrammetry_tpu.store.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, rs, ts, table, t,
+                            metadata={"frame": t, "cost": costs[-1]})
 
     return SfmResult(rs, ts, table, costs)
