@@ -1,0 +1,99 @@
+"""Full benchmark suite (multi-metric; bench.py stays single-line).
+
+Prints one JSON object per line: frontend frames/s, matching, BA iters/s,
+dewarp map generation, FAST detection — each with the reference baseline
+where one exists (BASELINE.md).  Run on the real TPU: `python bench_all.py`.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def timed(f, *a, iters=20):
+    import jax
+
+    jax.block_until_ready(f(*a))
+    t = time.perf_counter()
+    for _ in range(iters):
+        out = f(*a)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t) / iters
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from photogrammetry_tpu.ops.dewarp import generate_distortion_map
+    from photogrammetry_tpu.ops.fast import fast_score_map
+    from photogrammetry_tpu.ops.match import hamming_distance_matrix
+    from photogrammetry_tpu.sfm.ba import BAProblem, BAState, bundle_adjust, project
+    from photogrammetry_tpu.sfm.frontend import (
+        FrontendConfig, detect_and_describe, make_pairs,
+    )
+
+    rng = np.random.default_rng(0)
+    results = []
+
+    # --- FAST detection, 1920x1080 (baseline 0.67 s, keypoint_detection.py:157)
+    img = jnp.asarray(rng.integers(0, 255, (1080, 1920)), jnp.float32)
+    dt = timed(fast_score_map, img, 50.0)
+    results.append({"metric": "fast_detect_1920x1080", "value": dt * 1e3,
+                    "unit": "ms", "vs_baseline": 0.67 / dt})
+
+    # --- full frontend (baseline: detection alone, conservative)
+    config = FrontendConfig(detection_threshold=50.0, max_keypoints=2048,
+                            reduction="nms", suppression_radius=4.0)
+    pairs = make_pairs(config)
+    fn = jax.jit(lambda im: detect_and_describe(im, pairs, config))
+    dt = timed(fn, img)
+    results.append({"metric": "frontend_frames_per_s_1920x1080",
+                    "value": 1.0 / dt, "unit": "frames/s",
+                    "vs_baseline": (1.0 / dt) / (1.0 / 0.67)})
+
+    # --- Hamming matching 4096x4096x256 (reference: O(N^2) popcount loops)
+    b1 = jnp.asarray(rng.integers(0, 2, (4096, 256)), jnp.uint8)
+    b2 = jnp.asarray(rng.integers(0, 2, (4096, 256)), jnp.uint8)
+    fm = jax.jit(hamming_distance_matrix)
+    dt = timed(fm, b1, b2)
+    results.append({"metric": "hamming_4096x4096x256", "value": dt * 1e3,
+                    "unit": "ms", "vs_baseline": None})
+
+    # --- distortion map generation 1920x1080 (baseline 7.66 s vectorized)
+    gen = jax.jit(lambda c: generate_distortion_map(1080, 1920, c))
+    coeffs = jnp.asarray([3e-4, 1e-7, 0, 0, 0], jnp.float32)
+    dt = timed(gen, coeffs)
+    results.append({"metric": "distortion_map_1920x1080", "value": dt * 1e3,
+                    "unit": "ms", "vs_baseline": 7.66 / dt})
+
+    # --- BA iterations/s (north-star metric; 16 cams x 4096 landmarks)
+    f, t = 16, 4096
+    k = jnp.array([[520., 0, 320], [0, 520., 240], [0, 0, 1]])
+    pts = jnp.asarray(rng.uniform(-2, 2, (t, 3)) + [0, 0, 6], jnp.float32)
+    rs = jnp.tile(jnp.eye(3)[None], (f, 1, 1))
+    ts = jnp.asarray(rng.normal(0, 0.1, (f, 3)), jnp.float32)
+    obs, _, _ = project(rs, ts, pts, k)
+    obs = obs + jnp.asarray(rng.normal(0, 0.5, obs.shape), jnp.float32)
+    state = BAState(rs=rs, ts=ts,
+                    points=pts + jnp.asarray(rng.normal(0, 0.05, (t, 3)),
+                                             jnp.float32))
+    prob = BAProblem(obs=obs, mask=jnp.ones((f, t), bool), k=k)
+    iters = 10
+    ba = jax.jit(lambda s, p: bundle_adjust(s, p, num_iterations=iters))
+    dt = timed(ba, state, prob, iters=5)
+    results.append({"metric": f"ba_iters_per_s_{f}cam_{t}lm",
+                    "value": iters / dt, "unit": "iters/s",
+                    "vs_baseline": None})
+
+    for r in results:
+        r["value"] = round(float(r["value"]), 3)
+        if r["vs_baseline"] is not None:
+            r["vs_baseline"] = round(float(r["vs_baseline"]), 1)
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,8 +62,12 @@ def sorted_candidate_matches(dist: jnp.ndarray):
 
 
 @jax.jit
-def mutual_nearest_matches(dist: jnp.ndarray, max_distance: jnp.ndarray):
-    """Mutual nearest-neighbor matching.
+def mutual_nearest_matches(dist: jnp.ndarray, max_distance: jnp.ndarray,
+                           max_ratio: jnp.ndarray | None = None):
+    """Mutual nearest-neighbor matching, optionally with a Lowe ratio test.
+
+    max_ratio: if given, reject rows whose best distance is not at most
+    ``max_ratio * second_best`` (ambiguous matches on self-similar content).
 
     Returns (idx2 (N1,) int32 — match in set 2 for each row, or -1;
              d (N1,) int32 — its distance;
@@ -74,6 +78,13 @@ def mutual_nearest_matches(dist: jnp.ndarray, max_distance: jnp.ndarray):
     d = jnp.take_along_axis(dist, best2[:, None], axis=1)[:, 0]
     mutual = best1[best2] == jnp.arange(dist.shape[0])
     valid = mutual & (d <= max_distance) & (d < INT_INF)
+    if max_ratio is not None:
+        masked = jnp.where(
+            jax.nn.one_hot(best2, dist.shape[1], dtype=bool), INT_INF, dist)
+        second = jnp.min(masked, axis=1)
+        ok = d.astype(jnp.float32) <= max_ratio * jnp.minimum(
+            second, INT_INF - 1).astype(jnp.float32)
+        valid = valid & ok
     return jnp.where(valid, best2, -1).astype(jnp.int32), d, valid
 
 

@@ -50,6 +50,7 @@ class FrontendConfig:
     brief_sigma: float = 50.0
     num_pairs: int = 256
     hamming_threshold: int = 75
+    ratio_test: float = 0.0           # Lowe ratio (0 disables)
     pair_seed: int = 0
     subpixel: bool = True             # refine corners before geometry
     use_pallas_matching: bool = False  # tiled Pallas Hamming kernel (TPU)
@@ -119,7 +120,9 @@ def match_pair(f1: DescribedFrame, f2: DescribedFrame,
     else:
         d = hamming_distance_matrix(f1.bits, f2.bits, f1.points.mask,
                                     f2.points.mask)
-    idx2, dist, valid = mutual_nearest_matches(d, config.hamming_threshold)
+    ratio = config.ratio_test if config.ratio_test > 0 else None
+    idx2, dist, valid = mutual_nearest_matches(d, config.hamming_threshold,
+                                               max_ratio=ratio)
     xy1 = f1.xy
     xy2 = f2.xy[jnp.clip(idx2, 0)]
     return MatchedPair(xy1=xy1, xy2=xy2, idx2=idx2, dist=dist, mask=valid,

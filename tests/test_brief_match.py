@@ -133,3 +133,17 @@ def test_descriptors_shift_invariance():
     bits1, _ = brief_descriptors(img, coords1, pairs)
     bits2, _ = brief_descriptors(img2, coords2, pairs)
     np.testing.assert_array_equal(np.asarray(bits1), np.asarray(bits2))
+
+
+def test_ratio_test_rejects_ambiguous():
+    from photogrammetry_tpu.ops.match import mutual_nearest_matches
+
+    # row 0: two nearly equal candidates (ambiguous); row 1: distinct
+    d = np.array([[10, 11, 200],
+                  [100, 10, 200]], np.int32)
+    idx2, dist, valid = map(np.asarray, mutual_nearest_matches(d, 100))
+    assert valid[0] and valid[1]
+    idx2, dist, valid = map(np.asarray,
+                            mutual_nearest_matches(d, 100, max_ratio=0.8))
+    assert not valid[0]   # 10 > 0.8 * 11
+    assert valid[1]       # 10 <= 0.8 * 100

@@ -133,3 +133,15 @@ def test_dewarp_cli(tmp_path):
                  "--stats", str(tmp_path / "stats.json")]) == 0
     assert out.exists()
     assert (tmp_path / "stats.json").exists()
+
+
+def test_image_editing_cli(tmp_path):
+    from photogrammetry_tpu.cli.image_editing import main
+    from photogrammetry_tpu.io.image import read_image
+
+    out = tmp_path / "shifted.png"
+    assert main([STAR, "-o", str(out), "--shift-x", "10"]) == 0
+    src = read_image(STAR)
+    dst = read_image(str(out))
+    np.testing.assert_array_equal(dst[:, 10:], src[:, :-10])
+    assert (dst[:, :10] == 0).all()
