@@ -95,6 +95,14 @@ def detect_and_describe(gray: jnp.ndarray, pairs: jnp.ndarray,
     return DescribedFrame(points=pts, bits=bits, xy=xy)
 
 
+@partial(jax.jit, static_argnames=("config",))
+def detect_and_describe_batch(grays: jnp.ndarray, pairs: jnp.ndarray,
+                              config: FrontendConfig) -> DescribedFrame:
+    """Batched frontend over (B, H, W) frames (vmapped; shard the batch
+    dimension over a mesh for multi-chip frame parallelism)."""
+    return jax.vmap(lambda g: detect_and_describe(g, pairs, config))(grays)
+
+
 class MatchedPair(NamedTuple):
     xy1: jnp.ndarray    # (K, 2) float32 (x, y) pixel coords in frame 1
     xy2: jnp.ndarray    # (K, 2)
