@@ -21,7 +21,17 @@ REFERENCE_FPS = 1.0 / 0.67  # keypoint_detection.py:157 (BASELINE.md)
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # Persistent compilation cache: tunnel AOT compiles are slow (minutes)
+    # and occasionally degrade to >10 min; the cache makes reruns instant.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from photogrammetry_tpu.sfm.frontend import (

@@ -48,6 +48,57 @@ def nms_keypoints(points: PaddedPoints, radius: jnp.ndarray) -> PaddedPoints:
                         jnp.sum(kept).astype(jnp.int32))
 
 
+@jax.jit
+def nms_keypoints_parallel(points: PaddedPoints,
+                           radius: jnp.ndarray) -> PaddedPoints:
+    """Greedy radius NMS as a parallel fixed-point — same result as
+    ``nms_keypoints`` in ~chain-depth rounds instead of K sequential steps.
+
+    Per round, every active point that has no *stronger* active point within
+    the radius is a local maximum of the remaining set: greedy would keep
+    exactly those, in some order, before any other point — so they are kept
+    together and their neighborhoods deactivated.  The while_loop exits when
+    nothing changes; worst case (a monotone chain) degrades to K rounds,
+    typical keypoint fields converge in < 20.
+
+    Strength order matches the sequential version: score desc, original
+    index asc (stable tie-break).
+    """
+    coords = points.coords.astype(jnp.float32)
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+    k = points.capacity
+
+    d2 = jnp.sum((coords[:, None, :] - coords[None, :, :]) ** 2, axis=-1)
+    near = d2 <= r2
+    idx = jnp.arange(k)
+    stronger = (points.score[None, :] > points.score[:, None]) | \
+        ((points.score[None, :] == points.score[:, None])
+         & (idx[None, :] < idx[:, None]))
+    dominates = near & stronger  # j dominates i
+
+    def cond(state):
+        active, kept, changed = state
+        return changed
+
+    def body(state):
+        active, kept, _ = state
+        blocked = jnp.any(dominates & active[None, :], axis=1)
+        new_kept = active & ~blocked
+        # deactivate everything near a newly kept point (incl. itself)
+        suppressed = jnp.any(near & new_kept[None, :], axis=1)
+        new_active = active & ~suppressed
+        kept2 = kept | new_kept
+        changed = jnp.any(new_kept)
+        return new_active, kept2, changed
+
+    active0 = points.mask
+    kept0 = jnp.zeros((k,), bool)
+    _, kept, _ = lax.while_loop(cond, body,
+                                (active0, kept0, jnp.bool_(True)))
+    return PaddedPoints(points.coords, points.score, kept,
+                        jnp.sum(kept).astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("capacity",))
 def compact_points(points: PaddedPoints, capacity: int) -> PaddedPoints:
     """Pack the masked entries to the front (raster-stable), new capacity."""

@@ -28,7 +28,9 @@ from photogrammetry_tpu.ops.fast import extract_keypoints, fast_score_map
 from photogrammetry_tpu.ops.match import (
     hamming_distance_matrix, mutual_nearest_matches,
 )
-from photogrammetry_tpu.ops.nms import compact_points, nms_keypoints
+from photogrammetry_tpu.ops.nms import (
+    compact_points, nms_keypoints, nms_keypoints_parallel,
+)
 from photogrammetry_tpu.ops.refine import refine_subpixel
 from photogrammetry_tpu.utils.padding import PaddedPoints
 
@@ -44,6 +46,10 @@ class FrontendConfig:
     detection_threshold: float = 50.0
     max_keypoints: int = 1024
     reduction: str = "nms"            # 'nms' | 'cluster' | 'none'
+    # 'parallel' (fixed-point, few rounds) and 'sequential' (per-point loop)
+    # produce identical results; parallel is faster per step but its
+    # while_loop currently compiles very slowly on the axon tunnel.
+    nms_impl: str = "parallel"
     suppression_radius: float = 50.0
     max_merge_dist: float = 25.0
     cluster_chunks: tuple = (4, 4)
@@ -77,7 +83,9 @@ def detect_and_describe(gray: jnp.ndarray, pairs: jnp.ndarray,
     pts = extract_keypoints(score, capacity=config.max_keypoints,
                             order="score")
     if config.reduction == "nms":
-        pts = compact_points(nms_keypoints(pts, config.suppression_radius),
+        nms = (nms_keypoints_parallel if config.nms_impl == "parallel"
+               else nms_keypoints)
+        pts = compact_points(nms(pts, config.suppression_radius),
                              config.max_keypoints)
     elif config.reduction == "cluster":
         pts = grid_cluster_keypoints(

@@ -45,6 +45,10 @@ class SfmConfig:
     min_depth: float = 1e-3
     max_depth: float = 1e3
     prune_px: float = 3.0         # reprojection-error observation pruning
+    # Optional jax.sharding.Mesh: windowed BA runs as the distributed
+    # psum-Schur step with tracks sharded over its "tracks" axis
+    # (track_capacity must divide the axis size).
+    mesh: object = None
 
 
 @jax.jit
@@ -231,9 +235,18 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
         fixed = jnp.zeros((num_frames,))
         fixed = fixed.at[jnp.arange(w0, t + 1)].set(1.0)
         fixed = fixed.at[0].set(0.0)  # gauge
-        res = bundle_adjust(state, prob,
-                            num_iterations=config.ba_iterations,
-                            fixed_cameras=fixed)
+        if config.mesh is not None:
+            from photogrammetry_tpu.parallel.dist_ba import (
+                distributed_bundle_adjust,
+            )
+
+            res = distributed_bundle_adjust(
+                state, prob, config.mesh,
+                num_iterations=config.ba_iterations, fixed_cameras=fixed)
+        else:
+            res = bundle_adjust(state, prob,
+                                num_iterations=config.ba_iterations,
+                                fixed_cameras=fixed)
         rs, ts = res.state.rs, res.state.ts
         table = table._replace(points=res.state.points)
         table = _prune_observations(table, rs, ts, kmat, config.prune_px)

@@ -185,3 +185,31 @@ def test_compact_points():
     out = compact_points(masked, capacity=4)
     assert int(out.count) == 2
     np.testing.assert_array_equal(np.asarray(out.coords[:2]), [[1, 1], [2, 2]])
+
+
+def test_parallel_nms_equals_sequential():
+    from photogrammetry_tpu.ops.nms import nms_keypoints_parallel
+
+    rng = np.random.default_rng(70)
+    for trial in range(5):
+        n = 200
+        coords = rng.integers(0, 300, (n, 2)).astype(np.int32)
+        scores = rng.integers(12, 17, n).astype(np.float32)
+        pts = pad_to(coords, scores, capacity=256)
+        seq = nms_keypoints(pts, 12.0)
+        par = nms_keypoints_parallel(pts, 12.0)
+        np.testing.assert_array_equal(np.asarray(seq.mask),
+                                      np.asarray(par.mask)), trial
+        assert int(seq.count) == int(par.count)
+
+
+def test_parallel_nms_chain():
+    from photogrammetry_tpu.ops.nms import nms_keypoints_parallel
+
+    # worst-case monotone chain: A>B>C... collinear within radius
+    coords = np.array([[0, i * 4] for i in range(10)], np.int32)
+    scores = np.arange(10, 0, -1).astype(np.float32)
+    pts = pad_to(coords, scores, capacity=16)
+    seq = nms_keypoints(pts, 5.0)
+    par = nms_keypoints_parallel(pts, 5.0)
+    np.testing.assert_array_equal(np.asarray(seq.mask), np.asarray(par.mask))

@@ -69,3 +69,22 @@ def test_gspmd_sharded_inputs_run():
     res = bundle_adjust(state_s, prob_s, num_iterations=15)
     res_ref = bundle_adjust(state, prob, num_iterations=15)
     assert float(res.cost) == pytest.approx(float(res_ref.cost), rel=1e-3)
+
+
+@pytest.mark.slow
+def test_incremental_sfm_on_mesh():
+    """Full incremental SfM with windowed BA distributed over the mesh."""
+    from photogrammetry_tpu.sfm.frontend import FrontendConfig
+    from photogrammetry_tpu.sfm.incremental import SfmConfig, run_incremental_sfm
+    from photogrammetry_tpu.synth.star_scene import (
+        StarSceneConfig, generate_sequence,
+    )
+
+    scene = generate_sequence(StarSceneConfig(num_frames=5))
+    cfg = SfmConfig(frontend=FrontendConfig(
+        detection_threshold=20.0, max_keypoints=256, reduction="nms",
+        suppression_radius=4.0, hamming_threshold=80),
+        track_capacity=1024, mesh=make_mesh())
+    res = run_incremental_sfm(scene["frames"], scene["k"], cfg)
+    assert len(res.points) > 20
+    assert np.isfinite(res.camera_centers).all()
