@@ -106,11 +106,13 @@ def extract_keypoints(score_map: jnp.ndarray, capacity: int,
     elif order == "score":
         # key = raster - score*(h*w): ascending sort gives score-desc,
         # raster-asc ties; scores <= 16 and h*w <= ~4M keep it inside int32.
+        # Keys are unique (the raster term), so top_k of the negated key is
+        # exactly argsort(key)[:capacity] at a fraction of a full-sort cost.
         key = jnp.where(flat > 0,
                         jnp.arange(h * w, dtype=jnp.int32)
                         - flat.astype(jnp.int32) * (h * w),
                         jnp.iinfo(jnp.int32).max)
-        idx = jnp.argsort(key)[:capacity]
+        _, idx = lax.top_k(-key, capacity)
         valid = jnp.arange(capacity) < total
     else:
         raise ValueError(f"unknown order {order!r}")
