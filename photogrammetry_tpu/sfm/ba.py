@@ -119,13 +119,17 @@ def _inv3(m):
     return adj / det[..., None, None]
 
 
-def schur_solve(r, j_cam, j_pt, lam, fixed_cameras):
+def schur_solve(r, j_cam, j_pt, lam, fixed_cameras,
+                use_pallas: bool = False):
     """One damped Gauss-Newton step via the Schur complement.
 
     Args:
       r: (F,T,2) weighted residuals; j_cam (F,T,2,6); j_pt (F,T,2,3).
       lam: LM damping scalar.
       fixed_cameras: (F,) float — 0 freezes a camera's update (gauge).
+      use_pallas: assemble (s_off, rhs correction) with the fused
+        single-pass kernels.schur.schur_products_pallas instead of two
+        einsums (opt-in; see CLAUDE.md on the axon AOT compiler).
     Returns (delta_cam (F,6), delta_pt (T,3)).
     """
     f, t = r.shape[:2]
@@ -146,10 +150,15 @@ def schur_solve(r, j_cam, j_pt, lam, fixed_cameras):
 
     # Reduced camera system S = H_cc δ - W Hpp^-1 W^T  (dense (6F,6F)).
     w_hinv = jnp.einsum("ftij,tjk->ftik", w_cp, hpp_inv)        # (F,T,6,3)
-    s_off = jnp.einsum("ftik,gtjk->fgij", w_hinv, w_cp)         # (F,F,6,6)
+    if use_pallas:
+        from photogrammetry_tpu.kernels.schur import schur_products_pallas
+        s_off, corr = schur_products_pallas(w_hinv, w_cp, b_p)
+    else:
+        s_off = jnp.einsum("ftik,gtjk->fgij", w_hinv, w_cp)     # (F,F,6,6)
+        corr = jnp.einsum("ftik,tk->fi", w_hinv, b_p)           # (F,6)
     s = -s_off
     s = s.at[jnp.arange(f), jnp.arange(f)].add(h_cc)
-    rhs = b_c - jnp.einsum("ftik,tk->fi", w_hinv, b_p)          # (F,6)
+    rhs = b_c - corr
 
     # Freeze gauge cameras: zero their rows/cols, identity diagonal.
     fc = fixed_cameras.astype(jnp.float32)
@@ -185,13 +194,15 @@ class BAResult(NamedTuple):
     iterations: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("num_iterations", "optimize_points"))
+@partial(jax.jit, static_argnames=("num_iterations", "optimize_points",
+                                   "use_pallas_schur"))
 def bundle_adjust(state: BAState, prob: BAProblem,
                   num_iterations: int = 20,
                   huber_delta: float = 3.0,
                   init_lambda: float = 1e-3,
                   fixed_cameras: jnp.ndarray | None = None,
-                  optimize_points: bool = True) -> BAResult:
+                  optimize_points: bool = True,
+                  use_pallas_schur: bool = False) -> BAResult:
     """Levenberg-Marquardt bundle adjustment (static iteration count).
 
     fixed_cameras: (F,) float mask; 0 freezes a camera.  Defaults to freezing
@@ -208,7 +219,8 @@ def bundle_adjust(state: BAState, prob: BAProblem,
         r, j_cam, j_pt, _ = residuals_and_jacobians(state, prob, huber_delta)
         if not optimize_points:
             j_pt = jnp.zeros_like(j_pt)
-        delta_c, delta_p = schur_solve(r, j_cam, j_pt, lam, fixed_cameras)
+        delta_c, delta_p = schur_solve(r, j_cam, j_pt, lam, fixed_cameras,
+                                       use_pallas=use_pallas_schur)
         cand = apply_step(state, delta_c, delta_p, optimize_points)
         _, _, _, new_cost = residuals_and_jacobians(cand, prob, huber_delta)
         accept = new_cost < cost

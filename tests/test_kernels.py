@@ -40,3 +40,31 @@ def test_fast_stencil_tile_multiple():
     ref = np.asarray(fast_score_map(img, 50.0))
     got = np.asarray(fast_score_map_pallas(img, 50.0, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_schur_products_kernel_matches_einsum():
+    from photogrammetry_tpu.kernels.schur import schur_products_pallas
+    rng = np.random.default_rng(3)
+    f, t = 5, 700  # non-aligned on purpose (rows 30 -> 32, cols 2100 -> 2560)
+    w_hinv = jnp.asarray(rng.normal(size=(f, t, 6, 3)), jnp.float32)
+    w_cp = jnp.asarray(rng.normal(size=(f, t, 6, 3)), jnp.float32)
+    b_p = jnp.asarray(rng.normal(size=(t, 3)), jnp.float32)
+    s_ref = np.einsum("ftik,gtjk->fgij", w_hinv, w_cp)
+    c_ref = np.einsum("ftik,tk->fi", w_hinv, b_p)
+    s, c = schur_products_pallas(w_hinv, w_cp, b_p, interpret=True)
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=2e-5, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(c), c_ref, rtol=2e-5, atol=2e-3)
+
+
+def test_schur_products_kernel_tile_aligned():
+    from photogrammetry_tpu.kernels.schur import schur_products_pallas
+    rng = np.random.default_rng(4)
+    f, t = 16, 1024  # rows 96 -> 96 (8-mult), cols 3072 = 6 tiles
+    w_hinv = jnp.asarray(rng.normal(size=(f, t, 6, 3)), jnp.float32)
+    w_cp = jnp.asarray(rng.normal(size=(f, t, 6, 3)), jnp.float32)
+    b_p = jnp.asarray(rng.normal(size=(t, 3)), jnp.float32)
+    s_ref = np.einsum("ftik,gtjk->fgij", w_hinv, w_cp)
+    c_ref = np.einsum("ftik,tk->fi", w_hinv, b_p)
+    s, c = schur_products_pallas(w_hinv, w_cp, b_p, interpret=True)
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=2e-5, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(c), c_ref, rtol=2e-5, atol=5e-3)
