@@ -7,7 +7,7 @@ from photogrammetry_tpu.ops.match import (
     greedy_global_matches,
     sorted_candidate_matches,
 )
-from photogrammetry_tpu.ops.nms import nms_keypoints
+from photogrammetry_tpu.ops.nms import anms_keypoints, nms_keypoints
 from photogrammetry_tpu.ops.dewarp import (
     generate_distortion_map,
     apply_distortion_map,

@@ -99,6 +99,39 @@ def nms_keypoints_parallel(points: PaddedPoints,
                         jnp.sum(kept).astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("num_keep",))
+def anms_keypoints(points: PaddedPoints, num_keep: int) -> PaddedPoints:
+    """Adaptive non-maximal suppression (the reference's open TODO,
+    RedundantKeypointEliminator.cs:41).
+
+    Brown et al.'s ANMS: each keypoint's suppression radius is its distance
+    to the nearest *stronger* keypoint (strength order: score desc, original
+    index asc — same tie-break as the greedy NMS); the ``num_keep`` points
+    with the largest radii survive, giving a spatially even distribution
+    instead of a fixed radius.  One (K, K) distance matrix + a top-k: no
+    sequential loop at all, the most TPU-friendly of the reduction policies.
+    """
+    coords = points.coords.astype(jnp.float32)
+    k = points.capacity
+    idx = jnp.arange(k)
+    d2 = jnp.sum((coords[:, None, :] - coords[None, :, :]) ** 2, axis=-1)
+    stronger = (points.score[None, :] > points.score[:, None]) | \
+        ((points.score[None, :] == points.score[:, None])
+         & (idx[None, :] < idx[:, None]))
+    stronger = stronger & points.mask[None, :]
+    inf = jnp.float32(jnp.finfo(jnp.float32).max)
+    radius2 = jnp.min(jnp.where(stronger, d2, inf), axis=1)
+    radius2 = jnp.where(points.mask, radius2, -1.0)
+    # top-num_keep by radius; near-ties resolved by strength rank
+    # (score desc, idx asc via stable sort — same order as the greedy NMS)
+    order_rank = jnp.argsort(jnp.argsort(-points.score, stable=True))
+    key = radius2 - order_rank.astype(jnp.float32) / (k + 1.0)
+    _, keep_idx = lax.top_k(key, min(num_keep, k))
+    kept = jnp.zeros((k,), bool).at[keep_idx].set(True) & points.mask
+    return PaddedPoints(points.coords, points.score, kept,
+                        jnp.sum(kept).astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("capacity",))
 def compact_points(points: PaddedPoints, capacity: int) -> PaddedPoints:
     """Pack the masked entries to the front (raster-stable), new capacity."""

@@ -45,7 +45,7 @@ class FrontendConfig:
     """
     detection_threshold: float = 50.0
     max_keypoints: int = 1024
-    reduction: str = "nms"            # 'nms' | 'cluster' | 'none'
+    reduction: str = "nms"            # 'nms' | 'anms' | 'cluster' | 'none'
     # 'parallel' (fixed-point, few rounds) and 'sequential' (per-point loop)
     # produce identical results; parallel is faster per step but its
     # while_loop currently compiles very slowly on the axon tunnel.
@@ -87,6 +87,10 @@ def detect_and_describe(gray: jnp.ndarray, pairs: jnp.ndarray,
                else nms_keypoints)
         pts = compact_points(nms(pts, config.suppression_radius),
                              config.max_keypoints)
+    elif config.reduction == "anms":
+        from photogrammetry_tpu.ops.nms import anms_keypoints
+        keep = max(config.max_keypoints // 4, 64)
+        pts = compact_points(anms_keypoints(pts, keep), config.max_keypoints)
     elif config.reduction == "cluster":
         pts = grid_cluster_keypoints(
             pts, h, w, max_merge_dist=config.max_merge_dist,

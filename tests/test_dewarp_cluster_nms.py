@@ -213,3 +213,44 @@ def test_parallel_nms_chain():
     seq = nms_keypoints(pts, 5.0)
     par = nms_keypoints_parallel(pts, 5.0)
     np.testing.assert_array_equal(np.asarray(seq.mask), np.asarray(par.mask))
+
+
+def test_anms_even_distribution():
+    """ANMS keeps the strongest point and spreads survivors spatially."""
+    import jax.numpy as jnp
+    from photogrammetry_tpu.ops.nms import anms_keypoints
+    from photogrammetry_tpu.utils.padding import PaddedPoints
+
+    rng = np.random.default_rng(0)
+    k = 64
+    # dense cluster at origin + far-away weak singleton
+    coords = np.vstack([rng.integers(0, 10, (k - 1, 2)), [[100, 100]]])
+    score = np.concatenate([rng.integers(12, 17, k - 1), [12]]).astype(np.float32)
+    pts = PaddedPoints(coords=jnp.asarray(coords, jnp.int32),
+                       score=jnp.asarray(score),
+                       mask=jnp.ones((k,), bool),
+                       count=jnp.int32(k))
+    out = anms_keypoints(pts, num_keep=4)
+    kept = np.asarray(out.mask)
+    assert int(out.count) == 4
+    # the isolated point has infinite radius -> always kept
+    assert kept[k - 1]
+    # the globally strongest point has infinite radius -> always kept
+    strongest = int(np.lexsort((np.arange(k), -score))[0])
+    assert kept[strongest]
+
+
+def test_anms_respects_mask():
+    import jax.numpy as jnp
+    from photogrammetry_tpu.ops.nms import anms_keypoints
+    from photogrammetry_tpu.utils.padding import PaddedPoints
+
+    coords = jnp.asarray([[0, 0], [5, 5], [50, 50], [90, 90]], jnp.int32)
+    score = jnp.asarray([16.0, 15.0, 14.0, 13.0])
+    mask = jnp.asarray([True, True, False, True])
+    pts = PaddedPoints(coords=coords, score=score, mask=mask,
+                       count=jnp.int32(3))
+    out = anms_keypoints(pts, num_keep=8)
+    kept = np.asarray(out.mask)
+    assert not kept[2]
+    assert int(out.count) == 3
