@@ -63,3 +63,40 @@ def join_right(img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
         return x
 
     return np.concatenate([pad(a), pad(b)], axis=1)
+
+
+def scatter_plot(xs, ys, size=(480, 640), color=(30, 90, 200),
+                 dot: int = 1) -> np.ndarray:
+    """Rasterize a 2-D scatter into an RGB image (dependency-free).
+
+    The reference dumps ScottPlot scatter PNGs of the triangulated points as
+    pose-estimation diagnostics (CameraPoseEstimation.cs:141,177-193); this is
+    the framework's equivalent: auto-scaled axes drawn on a white canvas, one
+    ``(2*dot+1)``-square per point.  Pure NumPy — visualization is host work.
+    """
+    h, w = size
+    out = np.full((h, w, 3), 255, np.uint8)
+    xs = np.asarray(xs, np.float64).reshape(-1)
+    ys = np.asarray(ys, np.float64).reshape(-1)
+    ok = np.isfinite(xs) & np.isfinite(ys)
+    xs, ys = xs[ok], ys[ok]
+    margin = 24
+    out[margin, margin:w - margin] = (0, 0, 0)          # y-axis baseline
+    out[margin:h - margin, margin] = (0, 0, 0)          # x-axis
+    out[h - margin - 1, margin:w - margin] = (0, 0, 0)
+    out[margin:h - margin, w - margin - 1] = (0, 0, 0)
+    if xs.size == 0:
+        return out
+    x0, x1 = float(xs.min()), float(xs.max())
+    y0, y1 = float(ys.min()), float(ys.max())
+    sx = (w - 2 * margin - 1) / max(x1 - x0, 1e-12)
+    sy = (h - 2 * margin - 1) / max(y1 - y0, 1e-12)
+    cc = (margin + (xs - x0) * sx).round().astype(int)
+    rr = (h - 1 - margin - (ys - y0) * sy).round().astype(int)
+    color = np.array(color, np.uint8)
+    for dr in range(-dot, dot + 1):
+        for dc in range(-dot, dot + 1):
+            r = np.clip(rr + dr, 0, h - 1)
+            c = np.clip(cc + dc, 0, w - 1)
+            out[r, c] = color
+    return out

@@ -145,3 +145,46 @@ def test_image_editing_cli(tmp_path):
     dst = read_image(str(out))
     np.testing.assert_array_equal(dst[:, 10:], src[:, :-10])
     assert (dst[:, :10] == 0).all()
+
+
+def test_scatter_plot():
+    from photogrammetry_tpu.io.draw import scatter_plot
+
+    img = scatter_plot([0.0, 1.0, 2.0], [0.0, 1.0, 0.5], size=(120, 160))
+    assert img.shape == (120, 160, 3) and img.dtype == np.uint8
+    # points drawn in the plot color, axes in black, background white
+    assert (img == (30, 90, 200)).all(axis=-1).sum() >= 3
+    assert (img == 0).all(axis=-1).any()
+    # empty / non-finite input degrades to an empty frame, no crash
+    empty = scatter_plot([], [], size=(60, 80))
+    assert not (empty == (30, 90, 200)).all(axis=-1).any()
+    scatter_plot([np.nan], [1.0], size=(60, 80))
+
+
+@pytest.mark.slow
+def test_estimate_pose_cli(tmp_path):
+    from photogrammetry_tpu.cli.estimate_pose import main
+    from photogrammetry_tpu.io.image import write_image
+    from photogrammetry_tpu.synth.star_scene import (
+        StarSceneConfig, generate_sequence,
+    )
+
+    # adjacent frames of a 4-frame pan: small-baseline pair, many matches
+    scene = generate_sequence(StarSceneConfig(num_frames=4, supersample=2))
+    p1 = tmp_path / "f1.png"
+    p2 = tmp_path / "f2.png"
+    write_image(str(p1), scene["frames"][1])
+    write_image(str(p2), scene["frames"][2])
+    cloud = tmp_path / "cloud.ply"
+    assert main([str(p1), str(p2), "--detection-threshold", "20",
+                 "--match-threshold", "80", "--num-samples", "256",
+                 "--fx", str(float(scene["k"][0, 0])),
+                 "--cloud", str(cloud),
+                 "--plots", str(tmp_path / "pose"),
+                 "--stats", str(tmp_path / "stats.json")]) == 0
+    assert cloud.exists()
+    assert (tmp_path / "pose_xz.png").exists()
+    assert (tmp_path / "pose_xy.png").exists()
+    from photogrammetry_tpu.io.ply import read_ply
+    pts = read_ply(str(cloud))
+    assert len(pts) > 10 and (pts[:, 2] > 0).all()
