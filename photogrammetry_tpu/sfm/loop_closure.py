@@ -1,0 +1,204 @@
+"""Loop-closure detection + pose-graph construction (SLAM loop completion).
+
+North-star component (BASELINE.json; absent from the reference — its
+pipeline is two-view only).  Place recognition is brute-force appearance
+matching: every keyframe pair's mutual-nearest BRIEF match count, computed
+as a batched bit matmul on the MXU (vmapped over the pair grid — no
+vocabulary tree; at keyframe counts the dense (F, F) sweep is cheaper and
+exact).  Accepted loop pairs get a two-view relative-pose measurement and
+become extra pose-graph edges alongside the odometry chain.
+
+Measurement modes: revisit pairs (near-zero baseline, the usual loop-closure
+regime) use a trimmed bearing-Procrustes rotation fit — the epipolar problem
+degenerates there but pure-rotation fitting is sub-degree accurate — and the
+edge constrains orientation only.  Wide-baseline pairs can use the full
+RANSAC→essential pipeline with the translation rescaled to the current
+estimated baseline (a two-view translation is direction-only; the graph
+never invents scale).
+"""
+from __future__ import annotations
+
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from photogrammetry_tpu.ops.match import (
+    hamming_distance_matrix, mutual_nearest_matches,
+)
+from photogrammetry_tpu.sfm.pose_graph import PoseGraph, relative_pose
+from photogrammetry_tpu.sfm.two_view import two_view_pipeline
+
+
+@jax.jit
+def pairwise_match_counts(bits: jnp.ndarray, masks: jnp.ndarray,
+                          threshold: jnp.ndarray) -> jnp.ndarray:
+    """(F, K, P) descriptor bits + (F, K) masks → (F, F) int32 counts of
+    mutual-nearest Hamming matches under ``threshold`` for every frame pair.
+    """
+
+    def one(b1, m1, b2, m2):
+        d = hamming_distance_matrix(b1, b2, m1, m2)
+        _, _, valid = mutual_nearest_matches(d, threshold)
+        return jnp.sum(valid).astype(jnp.int32)
+
+    row = jax.vmap(one, in_axes=(None, None, 0, 0))
+    return jax.vmap(row, in_axes=(0, 0, None, None))(bits, masks, bits, masks)
+
+
+def detect_loop_closures(counts: np.ndarray, min_gap: int = 3,
+                         min_matches: int = 30,
+                         max_candidates: int = 8) -> list[tuple[int, int]]:
+    """Host-side candidate selection from the (F, F) match-count matrix.
+
+    A pair (i, j), j - i >= min_gap, is a loop candidate when its match
+    count reaches ``min_matches``; the strongest ``max_candidates`` are
+    returned (strongest first).  Temporal neighbors are odometry, not loops.
+    """
+    counts = np.asarray(counts)
+    f = counts.shape[0]
+    cand = [(int(counts[i, j]), i, j)
+            for i in range(f) for j in range(i + min_gap, f)
+            if counts[i, j] >= min_matches]
+    cand.sort(reverse=True)
+    return [(i, j) for _, i, j in cand[:max_candidates]]
+
+
+def build_pose_graph(rs, ts, loop_edges, loop_measurements,
+                     odometry_weight: float = 1.0,
+                     loop_weight: float = 1.0) -> PoseGraph:
+    """Odometry chain from the estimated trajectory + measured loop edges.
+
+    Args:
+      rs, ts: (F, 3, 3), (F, 3) current world→camera pose estimates.
+      loop_edges: list of (i, j) frame index pairs.
+      loop_measurements: list of (z_r (3,3), z_t (3,)) measured relative
+        poses, convention T_j = Z ∘ T_i (pose_graph.relative_pose).
+    """
+    rs = jnp.asarray(rs, jnp.float32)
+    ts = jnp.asarray(ts, jnp.float32)
+    f = rs.shape[0]
+    edges, z_rs, z_ts, w = [], [], [], []
+    for t in range(1, f):
+        zr, zt = relative_pose(rs[t - 1], ts[t - 1], rs[t], ts[t])
+        edges.append((t - 1, t))
+        z_rs.append(zr)
+        z_ts.append(zt)
+        w.append(odometry_weight)
+    for (i, j), (zr, zt) in zip(loop_edges, loop_measurements):
+        edges.append((i, j))
+        z_rs.append(jnp.asarray(zr, jnp.float32))
+        z_ts.append(jnp.asarray(zt, jnp.float32))
+        w.append(loop_weight)
+    return PoseGraph(edges=jnp.asarray(edges, jnp.int32),
+                     z_rs=jnp.stack(z_rs),
+                     z_ts=jnp.stack(z_ts),
+                     weights=jnp.asarray(w, jnp.float32))
+
+
+@jax.jit
+def rotation_from_bearings(xy1: jnp.ndarray, xy2: jnp.ndarray,
+                           mask: jnp.ndarray, k: jnp.ndarray):
+    """Trimmed Kabsch: rotation R with bearing(xy2) ≈ R @ bearing(xy1).
+
+    For a revisit (near-zero baseline) the epipolar problem degenerates but
+    the motion field is pure rotation of the bearing vectors, so a weighted
+    orthogonal-Procrustes fit (3x3 SVD) recovers R far more accurately than
+    an essential decomposition.  Three rounds drop residual outliers beyond
+    3x the mean inlier residual.  Returns (R, kept_count).
+    """
+    kinv = jnp.linalg.inv(jnp.asarray(k, jnp.float32))
+
+    def bear(xy):
+        h = jnp.concatenate([xy, jnp.ones((xy.shape[0], 1), xy.dtype)], 1)
+        h = h @ kinv.T
+        return h / jnp.linalg.norm(h, axis=1, keepdims=True)
+
+    b1 = bear(jnp.asarray(xy1, jnp.float32))
+    b2 = bear(jnp.asarray(xy2, jnp.float32))
+    w = mask.astype(jnp.float32)
+    r = jnp.eye(3)
+    for _ in range(3):
+        m = (b2 * w[:, None]).T @ b1
+        u, _, vt = jnp.linalg.svd(m)
+        d = jnp.sign(jnp.linalg.det(u @ vt))
+        r = u @ jnp.diag(jnp.stack([1.0, 1.0, d])) @ vt
+        resid = jnp.linalg.norm(b2 - b1 @ r.T, axis=1)
+        mean = jnp.sum(resid * w) / jnp.maximum(jnp.sum(w), 1.0)
+        w = w * (resid < 3.0 * mean + 1e-9)
+    return r, jnp.sum(w).astype(jnp.int32)
+
+
+def measure_loop_edges(features, rs, ts, k, loop_pairs, config, key,
+                       num_samples: int = 512, mode: str = "rotation"):
+    """Relative-pose measurements for accepted loop pairs.
+
+    features: list of DescribedFrame (sfm.frontend).  Returns
+    (measurements, support counts), measurement convention T_j = Z ∘ T_i.
+
+    mode='rotation' (default, for revisits): the rotation comes from the
+    bearing-Procrustes fit and the translation is copied from the *current*
+    trajectory estimate, so the edge constrains orientation only — at
+    near-zero baseline the epipolar translation direction is pure noise.
+    mode='essential': full RANSAC→essential→cheirality two-view pipeline;
+    the unit translation is rescaled to the current estimated baseline
+    |C_j - C_i| (for loop pairs with a real baseline).
+    """
+    from photogrammetry_tpu.sfm.frontend import match_pair
+
+    rs = jnp.asarray(rs, jnp.float32)
+    ts = jnp.asarray(ts, jnp.float32)
+    centers = -jnp.einsum("fji,fj->fi", rs, ts)
+    out, support = [], []
+    for i, j in loop_pairs:
+        key, sub = jax.random.split(key)
+        # rows = frame j keypoints, cols = frame i; both paths below return
+        # (r, t) mapping cam-j coords → cam-i coords, so Z_ij = (r, t)^-1.
+        m = match_pair(features[j], features[i], config)
+        if mode == "rotation":
+            r_ji, kept = rotation_from_bearings(m.xy1, m.xy2, m.mask, k)
+            zr = r_ji.T
+            _, zt = relative_pose(rs[i], ts[i], rs[j], ts[j])
+            out.append((zr, zt))
+            support.append(int(kept))
+        else:
+            tv = two_view_pipeline(sub, m.xy1, m.xy2, m.mask, jnp.asarray(k),
+                                   num_samples=num_samples, threshold=1.5)
+            zr = tv.r.T
+            baseline = jnp.linalg.norm(centers[j] - centers[i])
+            zt = -tv.r.T @ (tv.t * baseline)
+            out.append((zr, zt))
+            support.append(int(tv.num_inliers))
+    return out, support
+
+
+def close_loops(features, rs, ts, k, config, key=None, min_gap: int = 3,
+                min_matches: int = 30, num_iterations: int = 20,
+                mode: str = "rotation", loop_weight: float = 4.0):
+    """End-to-end loop closure: detect → measure → build graph → optimize.
+
+    Returns (rs, ts, info dict).  No candidate ⇒ poses returned unchanged.
+    A loop edge corrects drift accumulated *after* its revisited frame;
+    loop_weight > 1 reflects that Procrustes loop measurements are more
+    accurate than single-step odometry.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    bits = jnp.stack([f.bits for f in features])
+    masks = jnp.stack([f.points.mask for f in features])
+    counts = pairwise_match_counts(bits, masks, config.hamming_threshold)
+    pairs = detect_loop_closures(np.asarray(counts), min_gap=min_gap,
+                                 min_matches=min_matches)
+    if not pairs:
+        return rs, ts, {"loop_edges": [], "counts": np.asarray(counts)}
+    meas, inl = measure_loop_edges(features, rs, ts, k, pairs, config, key,
+                                   mode=mode)
+    graph = build_pose_graph(rs, ts, pairs, meas, loop_weight=loop_weight)
+    from photogrammetry_tpu.sfm.pose_graph import optimize_pose_graph
+
+    res = optimize_pose_graph(jnp.asarray(rs, jnp.float32),
+                              jnp.asarray(ts, jnp.float32), graph,
+                              num_iterations=num_iterations)
+    return res.rs, res.ts, {"loop_edges": pairs, "inliers": inl,
+                            "counts": np.asarray(counts),
+                            "cost": float(res.cost)}
