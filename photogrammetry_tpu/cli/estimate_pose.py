@@ -56,7 +56,9 @@ def main(argv=None) -> int:
     g1 = jnp.asarray(load_gray(args.image1))
     g2 = jnp.asarray(load_gray(args.image2))
     h, w = g1.shape
-    fx = args.fx or 1.2 * w
+    fx = args.fx if args.fx is not None else 1.2 * w
+    if fx <= 0:
+        raise SystemExit(f"--fx must be positive, got {fx}")
     k = jnp.array([[fx, 0.0, w / 2.0], [0.0, fx, h / 2.0], [0.0, 0.0, 1.0]],
                   jnp.float32)
 

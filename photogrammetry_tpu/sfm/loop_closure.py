@@ -42,8 +42,14 @@ def pairwise_match_counts(bits: jnp.ndarray, masks: jnp.ndarray,
         _, _, valid = mutual_nearest_matches(d, threshold)
         return jnp.sum(valid).astype(jnp.int32)
 
-    row = jax.vmap(one, in_axes=(None, None, 0, 0))
-    return jax.vmap(row, in_axes=(0, 0, None, None))(bits, masks, bits, masks)
+    # lax.map over rows keeps the live distance tensor at (F, K, K) — one
+    # row of the pair grid at a time — instead of the full (F, F, K, K) a
+    # double vmap would materialize (F^2 K^2 floats OOMs around F=50, K=1k).
+    def row(bm):
+        b1, m1 = bm
+        return jax.vmap(one, in_axes=(None, None, 0, 0))(b1, m1, bits, masks)
+
+    return jax.lax.map(row, (bits, masks))
 
 
 def detect_loop_closures(counts: np.ndarray, min_gap: int = 3,
@@ -137,9 +143,11 @@ def measure_loop_edges(features, rs, ts, k, loop_pairs, config, key,
     (measurements, support counts), measurement convention T_j = Z ∘ T_i.
 
     mode='rotation' (default, for revisits): the rotation comes from the
-    bearing-Procrustes fit and the translation is copied from the *current*
-    trajectory estimate, so the edge constrains orientation only — at
-    near-zero baseline the epipolar translation direction is pure noise.
+    bearing-Procrustes fit and the translation is chosen as
+    z_t = t_j - z_r @ t_i from the *current* trajectory estimate, so the
+    edge's SE(3) translation residual is exactly zero at the current
+    estimate and the edge constrains orientation only — at near-zero
+    baseline the epipolar translation direction is pure noise.
     mode='essential': full RANSAC→essential→cheirality two-view pipeline;
     the unit translation is rescaled to the current estimated baseline
     |C_j - C_i| (for loop pairs with a real baseline).
@@ -158,7 +166,10 @@ def measure_loop_edges(features, rs, ts, k, loop_pairs, config, key,
         if mode == "rotation":
             r_ji, kept = rotation_from_bearings(m.xy1, m.xy2, m.mask, k)
             zr = r_ji.T
-            _, zt = relative_pose(rs[i], ts[i], rs[j], ts[j])
+            # z_t built from the *measured* z_r so the translation residual
+            # (t_j - (z_r t_i + z_t)) vanishes at the current estimate; with
+            # relative_pose's z_r-from-current-rotations it would not.
+            zt = ts[j] - zr @ ts[i]
             out.append((zr, zt))
             support.append(int(kept))
         else:
@@ -174,25 +185,44 @@ def measure_loop_edges(features, rs, ts, k, loop_pairs, config, key,
 
 def close_loops(features, rs, ts, k, config, key=None, min_gap: int = 3,
                 min_matches: int = 30, num_iterations: int = 20,
-                mode: str = "rotation", loop_weight: float = 4.0):
+                mode: str = "rotation", loop_weight: float = 4.0,
+                min_support: int | None = None):
     """End-to-end loop closure: detect → measure → build graph → optimize.
 
     Returns (rs, ts, info dict).  No candidate ⇒ poses returned unchanged.
     A loop edge corrects drift accumulated *after* its revisited frame;
     loop_weight > 1 reflects that Procrustes loop measurements are more
     accurate than single-step odometry.
+
+    Appearance similarity alone is not enough to accept a loop edge
+    (perceptual aliasing: two distinct places can share BRIEF statistics),
+    so every measured edge is additionally gated on its *geometric* support
+    — the Procrustes trim survivor count (mode='rotation') or the RANSAC
+    inlier count (mode='essential') — and dropped below ``min_support``
+    (default: ``min_matches``).  Rejected pairs are reported in
+    info['rejected_edges'].
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if min_support is None:
+        min_support = min_matches
     bits = jnp.stack([f.bits for f in features])
     masks = jnp.stack([f.points.mask for f in features])
     counts = pairwise_match_counts(bits, masks, config.hamming_threshold)
     pairs = detect_loop_closures(np.asarray(counts), min_gap=min_gap,
                                  min_matches=min_matches)
     if not pairs:
-        return rs, ts, {"loop_edges": [], "counts": np.asarray(counts)}
+        return rs, ts, {"loop_edges": [], "rejected_edges": [],
+                        "counts": np.asarray(counts)}
     meas, inl = measure_loop_edges(features, rs, ts, k, pairs, config, key,
                                    mode=mode)
+    kept = [(p, z, s) for p, z, s in zip(pairs, meas, inl)
+            if s >= min_support]
+    rejected = [(p, s) for p, s in zip(pairs, inl) if s < min_support]
+    if not kept:
+        return rs, ts, {"loop_edges": [], "rejected_edges": rejected,
+                        "counts": np.asarray(counts)}
+    pairs, meas, inl = ([t[i] for t in kept] for i in range(3))
     graph = build_pose_graph(rs, ts, pairs, meas, loop_weight=loop_weight)
     from photogrammetry_tpu.sfm.pose_graph import optimize_pose_graph
 
@@ -200,5 +230,6 @@ def close_loops(features, rs, ts, k, config, key=None, min_gap: int = 3,
                               jnp.asarray(ts, jnp.float32), graph,
                               num_iterations=num_iterations)
     return res.rs, res.ts, {"loop_edges": pairs, "inliers": inl,
+                            "rejected_edges": rejected,
                             "counts": np.asarray(counts),
                             "cost": float(res.cost)}

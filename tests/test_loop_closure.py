@@ -109,6 +109,35 @@ def test_close_loops_corrects_rotation_drift():
     assert gap_after < 1.0, (gap_before, gap_after)
 
 
+def test_rotation_mode_edge_has_zero_translation_residual():
+    """mode='rotation' measurements must not perturb camera centers: the
+    SE(3) translation residual at the current estimate is exactly zero
+    because z_t is built from the *measured* z_r (advisor round-1 low)."""
+    frames, rs, ts, k = make_revisit_scene()
+    feats = describe_all(frames)
+    meas, support = lc.measure_loop_edges(
+        feats, rs, ts, k, [(2, 5)], CFG, jax.random.PRNGKey(0),
+        mode="rotation")
+    (zr, zt), = meas
+    predicted_t5 = np.asarray(zr) @ np.asarray(ts[2]) + np.asarray(zt)
+    np.testing.assert_allclose(predicted_t5, ts[5], atol=1e-6)
+    assert support[0] > 0
+
+
+def test_close_loops_gates_on_geometric_support():
+    """Appearance-matched pairs whose geometric fit keeps too few points
+    (perceptual aliasing) must be dropped, not turned into loop edges
+    (advisor round-1 medium)."""
+    frames, rs, ts, k = make_revisit_scene()
+    feats = describe_all(frames)
+    rs_o, ts_o, info = lc.close_loops(feats, rs, ts, k, CFG, min_gap=3,
+                                      min_matches=18, min_support=10_000)
+    assert info["loop_edges"] == []
+    assert info["rejected_edges"], "gated pairs must be reported"
+    np.testing.assert_array_equal(np.asarray(rs_o), rs)
+    np.testing.assert_array_equal(np.asarray(ts_o), ts)
+
+
 def test_build_pose_graph_shapes():
     rng = np.random.default_rng(0)
     rs = np.stack([np.eye(3)] * 4).astype(np.float32)
