@@ -42,6 +42,16 @@ class SfmConfig:
     ransac_samples: int = 1000
     ba_iterations: int = 15
     window: int = 8               # BA window (frames)
+    # Absolute-pose (PnP) initialization for frames >= 2: RANSAC DLT pose
+    # from observations of already-triangulated landmarks; falls back to
+    # previous-pose when fewer than min_pnp_inliers support it.
+    use_pnp: bool = True
+    pnp_threshold: float = 4.0
+    pnp_samples: int = 256
+    min_pnp_inliers: int = 8
+    # Triangulate new tracks from ALL observing views (mask-weighted
+    # multi-view DLT) instead of only the first/last observation pair.
+    nview_triangulation: bool = True
     min_depth: float = 1e-3
     max_depth: float = 1e3
     prune_px: float = 3.0         # reprojection-error observation pruning
@@ -92,6 +102,26 @@ def _triangulate_tracks(table: TrackTable, rs, ts, k,
     xs, oks = jax.vmap(one)(jnp.arange(cap))
     accept = need & oks
     points = jnp.where(accept[:, None], xs, table.points)
+    return table._replace(points=points,
+                          has_point=table.has_point | accept)
+
+
+@jax.jit
+def _triangulate_tracks_nview(table: TrackTable, rs, ts, k,
+                              min_depth, max_depth) -> TrackTable:
+    """Triangulate un-pointed tracks with >= 2 observations from ALL their
+    observing views at once (sfm.triangulate.triangulate_nview); every
+    observing view must place the point inside the depth band."""
+    from photogrammetry_tpu.sfm.triangulate import triangulate_nview
+
+    n_obs = jnp.sum(table.obs_mask, axis=0)
+    need = (~table.has_point) & (n_obs >= 2)
+    pts, depths = triangulate_nview(table.obs, table.obs_mask, rs, ts, k)
+    ok_per_view = jnp.where(table.obs_mask,
+                            (depths > min_depth) & (depths < max_depth),
+                            True)
+    accept = need & jnp.all(ok_per_view, axis=0)
+    points = jnp.where(accept[:, None], pts, table.points)
     return table._replace(points=points,
                           has_point=table.has_point | accept)
 
@@ -210,8 +240,28 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
             rs = rs.at[1].set(r10.T)
             ts = ts.at[1].set(-r10.T @ t10)
         else:
-            rs = rs.at[t].set(rs[t - 1])
-            ts = ts.at[t].set(ts[t - 1])
+            # Absolute pose from the map: RANSAC PnP on this frame's
+            # observations of already-triangulated landmarks.  Previous
+            # pose is the fallback (small-motion prior) when the map
+            # support is too thin.
+            initialized = False
+            if config.use_pnp:
+                from photogrammetry_tpu.sfm.pnp import ransac_pnp
+
+                pnp_mask = table.obs_mask[t] & table.has_point
+                if int(jnp.sum(pnp_mask)) >= config.min_pnp_inliers:
+                    key, sub = jax.random.split(key)
+                    pnp = ransac_pnp(sub, table.points, table.obs[t],
+                                     pnp_mask, kmat,
+                                     threshold=config.pnp_threshold,
+                                     num_samples=config.pnp_samples)
+                    if int(pnp.num_inliers) >= config.min_pnp_inliers:
+                        rs = rs.at[t].set(pnp.r)
+                        ts = ts.at[t].set(pnp.t)
+                        initialized = True
+            if not initialized:
+                rs = rs.at[t].set(rs[t - 1])
+                ts = ts.at[t].set(ts[t - 1])
             # motion-only BA on all frames so far (only camera t free)
             state = BAState(rs=rs, ts=ts, points=table.points)
             prob = BAProblem(obs=table.obs,
@@ -222,9 +272,14 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                                 fixed_cameras=fixed, optimize_points=False)
             rs, ts = res.state.rs, res.state.ts
 
-        first, last = first_last_observations(table)
-        table = _triangulate_tracks(table, rs, ts, kmat, first, last,
-                                    config.min_depth, config.max_depth)
+        if config.nview_triangulation:
+            table = _triangulate_tracks_nview(table, rs, ts, kmat,
+                                              config.min_depth,
+                                              config.max_depth)
+        else:
+            first, last = first_last_observations(table)
+            table = _triangulate_tracks(table, rs, ts, kmat, first, last,
+                                        config.min_depth, config.max_depth)
 
         # windowed full BA: freeze cameras before the window and frame 0/1
         state = BAState(rs=rs, ts=ts, points=table.points)

@@ -72,6 +72,44 @@ def cheirality_counts(xy1, xy2, rs, ts, k1, k2, mask,
     return counts, pts
 
 
+def triangulate_nview(obs: jnp.ndarray, obs_mask: jnp.ndarray,
+                      rs: jnp.ndarray, ts: jnp.ndarray, k: jnp.ndarray):
+    """Mask-weighted multi-view DLT over every observing frame at once.
+
+    The two-view DLT (triangulate_dlt) generalizes row-wise: each observing
+    view contributes two rows u·P[2]-P[0], v·P[2]-P[1] in normalized camera
+    coordinates, and the 4x4 Gram matrix sums them over the frame axis —
+    masked views contribute zero.  One batched eigh over all T tracks.
+
+    Args:
+      obs: (F, T, 2) pixel observations.
+      obs_mask: (F, T) bool — which frames observe which track.
+      rs, ts: (F, 3, 3), (F, 3) world→camera poses.
+      k: (3, 3) shared intrinsics.
+
+    Returns (points (T, 3) world coords, depths (F, T) per-view depths).
+    Tracks need >= 2 observing views for a meaningful solution; callers gate
+    on jnp.sum(obs_mask, 0) >= 2 and on the returned depths.
+    """
+    xn = jnp.stack([(obs[..., 0] - k[0, 2]) / k[0, 0],
+                    (obs[..., 1] - k[1, 2]) / k[1, 1]], axis=-1)  # (F, T, 2)
+    p = jnp.concatenate([rs, ts[:, :, None]], axis=2)             # (F, 3, 4)
+    a1 = xn[..., 0, None] * p[:, None, 2, :] - p[:, None, 0, :]   # (F, T, 4)
+    a2 = xn[..., 1, None] * p[:, None, 2, :] - p[:, None, 1, :]
+    w = obs_mask.astype(a1.dtype)[..., None]
+    gram = (jnp.einsum("fti,ftj->tij", a1 * w, a1 * w)
+            + jnp.einsum("fti,ftj->tij", a2 * w, a2 * w))          # (T, 4, 4)
+    # Regularize the all-masked case so eigh stays well-defined.
+    gram = gram + 1e-12 * jnp.eye(4)
+    _, v = jnp.linalg.eigh(gram)
+    xh = v[..., :, 0]                                              # (T, 4)
+    denom = xh[..., 3:]
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    pts = xh[..., :3] / denom                                      # (T, 3)
+    depths = jnp.einsum("fij,tj->fti", rs, pts)[..., 2] + ts[:, None, 2]
+    return pts, depths
+
+
 def select_pose(xy1, xy2, rs, ts, k1, k2, mask, both_cameras: bool = True):
     """Pick the candidate with the most points in front of the camera(s).
 
