@@ -47,8 +47,14 @@ class SfmConfig:
     # previous-pose when fewer than min_pnp_inliers support it.
     use_pnp: bool = True
     pnp_threshold: float = 4.0
-    pnp_samples: int = 256
-    min_pnp_inliers: int = 8
+    pnp_samples: int = 512
+    min_pnp_inliers: int = 6      # the DLT minimal-sample size
+    # PnP replaces the prior only when the prior has actually failed: its
+    # median reprojection error on the map exceeds pnp_rescue_px.  On smooth
+    # sequences the small-motion prior + motion-only BA is less noisy than
+    # an algebraic DLT pose (which overfits map error), so PnP is a rescue
+    # path for large motion / relocalization, not the default.
+    pnp_rescue_px: float = 16.0
     # Triangulate new tracks from ALL observing views (mask-weighted
     # multi-view DLT) instead of only the first/last observation pair.
     nview_triangulation: bool = True
@@ -145,11 +151,14 @@ def _prune_observations(table: TrackTable, rs, ts, k,
 class SfmResult:
     """Host-side result: trajectory + landmarks + diagnostics."""
 
-    def __init__(self, rs, ts, table: TrackTable, costs):
+    def __init__(self, rs, ts, table: TrackTable, costs, frame_info=None):
         self.rs = np.asarray(rs)
         self.ts = np.asarray(ts)
         self.table = table
         self.costs = costs
+        # per-frame dicts: matches, gated matches, pose-init path taken,
+        # PnP support/inlier counts, prior/pnp median reprojection errors
+        self.frame_info = frame_info or []
 
     @property
     def camera_centers(self) -> np.ndarray:
@@ -185,6 +194,7 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
     rs = jnp.tile(jnp.eye(3)[None], (num_frames, 1, 1))
     ts = jnp.zeros((num_frames, 3))
     costs = []
+    frame_info = []
     start_frame = 1
 
     import os
@@ -194,7 +204,7 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
 
         rs, ts, table, done, _ = load_checkpoint(checkpoint_path)
         if done + 1 >= num_frames:
-            return SfmResult(rs, ts, table, costs)
+            return SfmResult(rs, ts, table, costs, frame_info)
         start_frame = done + 1
         prev = detect_and_describe(jnp.asarray(frames[done], jnp.float32),
                                    pairs, fc)
@@ -226,6 +236,8 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
         good = m.mask & gate.inliers
         table = extend_tracks(table, jnp.int32(t), cur.xy, cur.points.mask,
                               m.idx2, good)
+        info = {"frame": t, "matches": int(m.num),
+                "gated_matches": int(jnp.sum(good)), "pose_init": "prior"}
 
         if t == 1:
             # Two-view bootstrap: relative pose with unit baseline (gauge).
@@ -240,25 +252,48 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
             rs = rs.at[1].set(r10.T)
             ts = ts.at[1].set(-r10.T @ t10)
         else:
-            # Absolute pose from the map: RANSAC PnP on this frame's
-            # observations of already-triangulated landmarks.  Previous
-            # pose is the fallback (small-motion prior) when the map
-            # support is too thin.
+            # Pose init: small-motion prior (previous pose) by default;
+            # RANSAC PnP against the triangulated map *rescues* the frame
+            # when the prior has demonstrably failed (median map
+            # reprojection error > pnp_rescue_px — large motion, tracking
+            # loss, relocalization).  See SfmConfig.pnp_rescue_px.
             initialized = False
             if config.use_pnp:
-                from photogrammetry_tpu.sfm.pnp import ransac_pnp
+                from photogrammetry_tpu.sfm.pnp import (
+                    pnp_reprojection_errors, ransac_pnp,
+                )
 
                 pnp_mask = table.obs_mask[t] & table.has_point
-                if int(jnp.sum(pnp_mask)) >= config.min_pnp_inliers:
+                mask_np = np.asarray(pnp_mask)
+
+                def med_err(r, t_):
+                    err, z = pnp_reprojection_errors(
+                        r, t_, table.points, table.obs[t], kmat)
+                    e = np.where(np.asarray(z) > 0, np.asarray(err), np.inf)
+                    return float(np.median(e[mask_np]))
+
+                prior_err = (med_err(rs[t - 1], ts[t - 1])
+                             if mask_np.any() else float("inf"))
+                info.update(pnp_support=int(mask_np.sum()),
+                            prior_med_px=prior_err)
+                prior_failed = (
+                    int(mask_np.sum()) >= config.min_pnp_inliers
+                    and prior_err > config.pnp_rescue_px)
+                if prior_failed:
                     key, sub = jax.random.split(key)
                     pnp = ransac_pnp(sub, table.points, table.obs[t],
                                      pnp_mask, kmat,
                                      threshold=config.pnp_threshold,
                                      num_samples=config.pnp_samples)
-                    if int(pnp.num_inliers) >= config.min_pnp_inliers:
+                    pnp_err = med_err(pnp.r, pnp.t)
+                    info.update(pnp_inliers=int(pnp.num_inliers),
+                                pnp_med_px=pnp_err)
+                    if (int(pnp.num_inliers) >= config.min_pnp_inliers
+                            and pnp_err < prior_err):
                         rs = rs.at[t].set(pnp.r)
                         ts = ts.at[t].set(pnp.t)
                         initialized = True
+                        info["pose_init"] = "pnp"
             if not initialized:
                 rs = rs.at[t].set(rs[t - 1])
                 ts = ts.at[t].set(ts[t - 1])
@@ -306,6 +341,7 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
         table = table._replace(points=res.state.points)
         table = _prune_observations(table, rs, ts, kmat, config.prune_px)
         costs.append(float(res.cost))
+        frame_info.append(info)
         prev = cur
 
         if checkpoint_path and (t % checkpoint_every == 0
@@ -315,4 +351,4 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
             save_checkpoint(checkpoint_path, rs, ts, table, t,
                             metadata={"frame": t, "cost": costs[-1]})
 
-    return SfmResult(rs, ts, table, costs)
+    return SfmResult(rs, ts, table, costs, frame_info)

@@ -111,12 +111,14 @@ def ransac_pnp(key: jax.Array, points_w: jnp.ndarray, xy: jnp.ndarray,
     """
     n = xy.shape[0]
     xn = normalize_pixels(xy, k)
-    count = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
-    (valid_idx,) = jnp.nonzero(mask, size=n, fill_value=0)
 
     def draw(kk):
-        u = jax.random.randint(kk, (sample_size,), 0, count)
-        return valid_idx[u]
+        # Without replacement: a duplicated row in a 6-point minimal sample
+        # makes the DLT system rank-deficient, which matters exactly when
+        # the candidate set is thin (sample_size close to the valid count).
+        u = jax.random.uniform(kk, (n,))
+        u = jnp.where(mask, u, 2.0)          # invalid rows sort last
+        return jnp.argsort(u)[:sample_size]
 
     keys = jax.random.split(key, num_samples)
     sample_idx = jax.vmap(draw)(keys)                       # (H, S)
