@@ -99,6 +99,49 @@ def nms_keypoints_parallel(points: PaddedPoints,
                         jnp.sum(kept).astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("rounds",))
+def nms_keypoints_static(points: PaddedPoints, radius: jnp.ndarray,
+                         rounds: int = 64) -> PaddedPoints:
+    """Parallel fixed-point NMS with a *static* trip count.
+
+    Identical algorithm to ``nms_keypoints_parallel`` but runs a fixed
+    ``rounds`` iterations (lax.fori_loop) instead of a data-dependent
+    while_loop.  Each round keeps every active point not dominated by a
+    stronger active point in radius, so after R rounds all suppression
+    chains of depth <= R are resolved; real keypoint fields converge in
+    2-14 rounds (measured on the reference fixtures and noise frames), so
+    the default 64 has a wide margin.  Rationale: on the TPU runtime a
+    data-dependent while_loop forces the surrounding program onto a slow
+    synchronous dispatch path (~40 ms/call vs ~0.1 ms) — see
+    docs/tpu_notes.md; a static trip count keeps the whole frontend on the
+    fast path, and extra rounds past convergence are no-op mask updates
+    costing microseconds.
+    """
+    coords = points.coords.astype(jnp.float32)
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+    k = points.capacity
+    d2 = jnp.sum((coords[:, None, :] - coords[None, :, :]) ** 2, axis=-1)
+    near = d2 <= r2
+    idx = jnp.arange(k)
+    stronger = (points.score[None, :] > points.score[:, None]) | \
+        ((points.score[None, :] == points.score[:, None])
+         & (idx[None, :] < idx[:, None]))
+    dominates = near & stronger
+
+    def body(_, state):
+        active, kept = state
+        blocked = jnp.any(dominates & active[None, :], axis=1)
+        new_kept = active & ~blocked
+        suppressed = jnp.any(near & new_kept[None, :], axis=1)
+        return active & ~suppressed, kept | new_kept
+
+    active0 = points.mask
+    kept0 = jnp.zeros((k,), bool)
+    _, kept = lax.fori_loop(0, rounds, body, (active0, kept0))
+    return PaddedPoints(points.coords, points.score, kept,
+                        jnp.sum(kept).astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("num_keep",))
 def anms_keypoints(points: PaddedPoints, num_keep: int) -> PaddedPoints:
     """Adaptive non-maximal suppression (the reference's open TODO,

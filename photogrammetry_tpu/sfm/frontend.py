@@ -30,6 +30,7 @@ from photogrammetry_tpu.ops.match import (
 )
 from photogrammetry_tpu.ops.nms import (
     compact_points, nms_keypoints, nms_keypoints_parallel,
+    nms_keypoints_static,
 )
 from photogrammetry_tpu.ops.refine import refine_subpixel
 from photogrammetry_tpu.utils.padding import PaddedPoints
@@ -46,10 +47,12 @@ class FrontendConfig:
     detection_threshold: float = 50.0
     max_keypoints: int = 1024
     reduction: str = "nms"            # 'nms' | 'anms' | 'cluster' | 'none'
-    # 'parallel' (fixed-point, few rounds) and 'sequential' (per-point loop)
-    # produce identical results; parallel is faster per step but its
-    # while_loop currently compiles very slowly on the axon tunnel.
-    nms_impl: str = "parallel"
+    # 'static' (fixed 64-round fixed-point), 'parallel' (while_loop
+    # fixed-point) and 'sequential' (per-point loop) produce identical
+    # results.  'static' is the default: a data-dependent while_loop pushes
+    # the whole fused program onto the TPU runtime's slow synchronous
+    # dispatch path (~40 ms/call vs ~0.1 ms) and also compiles far slower.
+    nms_impl: str = "static"
     suppression_radius: float = 50.0
     max_merge_dist: float = 25.0
     cluster_chunks: tuple = (4, 4)
@@ -74,17 +77,16 @@ def make_pairs(config: FrontendConfig) -> jnp.ndarray:
                           num_pairs=config.num_pairs)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def detect_and_describe(gray: jnp.ndarray, pairs: jnp.ndarray,
-                        config: FrontendConfig) -> DescribedFrame:
-    """Grayscale (H, W) float image → keypoints + BRIEF bits."""
+def _detect(gray: jnp.ndarray, config: FrontendConfig) -> PaddedPoints:
+    """score map → fixed-capacity keypoints → redundancy reduction."""
     h, w = gray.shape
     score = fast_score_map(gray, config.detection_threshold)
     pts = extract_keypoints(score, capacity=config.max_keypoints,
                             order="score")
     if config.reduction == "nms":
-        nms = (nms_keypoints_parallel if config.nms_impl == "parallel"
-               else nms_keypoints)
+        nms = {"static": nms_keypoints_static,
+               "parallel": nms_keypoints_parallel,
+               "sequential": nms_keypoints}[config.nms_impl]
         pts = compact_points(nms(pts, config.suppression_radius),
                              config.max_keypoints)
     elif config.reduction == "anms":
@@ -97,6 +99,12 @@ def detect_and_describe(gray: jnp.ndarray, pairs: jnp.ndarray,
             chunks=config.cluster_chunks,
             chunk_capacity=max(config.max_keypoints // 4, 64))
         pts = compact_points(pts, config.max_keypoints)
+    return pts
+
+
+def _describe(gray: jnp.ndarray, pts: PaddedPoints, pairs: jnp.ndarray,
+              config: FrontendConfig) -> DescribedFrame:
+    """BRIEF bits + subpixel coordinates for detected keypoints."""
     bits = brief_bits(gray, pts.coords, pairs)
     bits = bits * pts.mask[:, None].astype(bits.dtype)
     if config.subpixel:
@@ -105,6 +113,44 @@ def detect_and_describe(gray: jnp.ndarray, pairs: jnp.ndarray,
     else:
         xy = keypoints_to_xy(pts.coords)
     return DescribedFrame(points=pts, bits=bits, xy=xy)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def detect_keypoints(gray: jnp.ndarray,
+                     config: FrontendConfig) -> PaddedPoints:
+    """Jitted detection stage (see detect_and_describe_split)."""
+    return _detect(gray, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def describe_keypoints(gray: jnp.ndarray, pts: PaddedPoints,
+                       pairs: jnp.ndarray,
+                       config: FrontendConfig) -> DescribedFrame:
+    """Jitted description stage (see detect_and_describe_split)."""
+    return _describe(gray, pts, pairs, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def detect_and_describe(gray: jnp.ndarray, pairs: jnp.ndarray,
+                        config: FrontendConfig) -> DescribedFrame:
+    """Grayscale (H, W) float image → keypoints + BRIEF bits (one program).
+
+    One fused jit — the composable form (vmap/batch/mesh-sharding, the
+    compile-checked entry point).  For single-frame host-loop use prefer
+    ``detect_and_describe_split``: on the current TPU runtime a single
+    program combining the detection pipeline with the descriptor's image
+    gathers lands on a slow synchronous dispatch path (~40 ms/call vs
+    ~0.1 ms for the two stages dispatched separately).
+    """
+    return _describe(gray, _detect(gray, config), pairs, config)
+
+
+def detect_and_describe_split(gray: jnp.ndarray, pairs: jnp.ndarray,
+                              config: FrontendConfig) -> DescribedFrame:
+    """Same result as ``detect_and_describe``, dispatched as two programs
+    (detect | describe) — the fast path for host-sequenced pipelines."""
+    return describe_keypoints(gray, detect_keypoints(gray, config), pairs,
+                              config)
 
 
 @partial(jax.jit, static_argnames=("config",))
