@@ -35,7 +35,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from photogrammetry_tpu.sfm.frontend import (
-        FrontendConfig, detect_and_describe, make_pairs,
+        FrontendConfig, detect_and_describe_split, make_pairs,
     )
 
     config = FrontendConfig(detection_threshold=50.0, max_keypoints=2048,
@@ -45,13 +45,18 @@ def main() -> None:
     rng = np.random.default_rng(0)
     frame = jnp.asarray(rng.integers(0, 255, (1080, 1920)), jnp.float32)
 
-    fn = jax.jit(lambda im: detect_and_describe(im, pairs, config))
+    # The split frontend dispatches detect | brief | refine as three
+    # programs so each contains exactly one large image gather — XLA's
+    # fast vectorized gather lowering — instead of the ~400x slower serial
+    # lowering multi-gather programs receive (docs/tpu_notes.md).
+    def fn(im):
+        return detect_and_describe_split(im, pairs, config)
 
     # warmup / compile
     out = fn(frame)
     jax.block_until_ready(out)
 
-    iters = 20
+    iters = 200
     start = time.perf_counter()
     for _ in range(iters):
         out = fn(frame)

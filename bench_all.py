@@ -32,7 +32,7 @@ def main() -> None:
     from photogrammetry_tpu.ops.match import hamming_distance_matrix
     from photogrammetry_tpu.sfm.ba import BAProblem, BAState, bundle_adjust, project
     from photogrammetry_tpu.sfm.frontend import (
-        FrontendConfig, detect_and_describe, make_pairs,
+        FrontendConfig, detect_and_describe_split, make_pairs,
     )
 
     rng = np.random.default_rng(0)
@@ -48,7 +48,7 @@ def main() -> None:
     config = FrontendConfig(detection_threshold=50.0, max_keypoints=2048,
                             reduction="nms", suppression_radius=4.0)
     pairs = make_pairs(config)
-    fn = jax.jit(lambda im: detect_and_describe(im, pairs, config))
+    fn = lambda im: detect_and_describe_split(im, pairs, config)
     dt = timed(fn, img)
     results.append({"metric": "frontend_frames_per_s_1920x1080",
                     "value": 1.0 / dt, "unit": "frames/s",

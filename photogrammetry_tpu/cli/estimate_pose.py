@@ -41,7 +41,7 @@ def main(argv=None) -> int:
     from photogrammetry_tpu.cli.common import load_gray
     from photogrammetry_tpu.io.ply import write_ply
     from photogrammetry_tpu.sfm.frontend import (
-        FrontendConfig, detect_and_describe, make_pairs, match_pair,
+        FrontendConfig, detect_and_describe_split, make_pairs, match_pair,
     )
     from photogrammetry_tpu.sfm.two_view import two_view_pipeline
     from photogrammetry_tpu.utils.profiling import StageTimer, append_stats
@@ -64,8 +64,8 @@ def main(argv=None) -> int:
 
     timer = StageTimer()
     with timer.stage("frontend"):
-        f1 = detect_and_describe(g1, pairs, config)
-        f2 = detect_and_describe(g2, pairs, config)
+        f1 = detect_and_describe_split(g1, pairs, config)
+        f2 = detect_and_describe_split(g2, pairs, config)
         m = timer.block(match_pair(f1, f2, config))
     with timer.stage("two_view"):
         out = timer.block(two_view_pipeline(

@@ -29,7 +29,7 @@ def main(argv=None) -> int:
     from photogrammetry_tpu.io.draw import draw_lines, draw_squares, join_right
     from photogrammetry_tpu.io.image import read_image, write_image
     from photogrammetry_tpu.sfm.frontend import (
-        FrontendConfig, detect_and_describe, make_pairs, match_pair,
+        FrontendConfig, detect_and_describe_split, make_pairs, match_pair,
     )
     from photogrammetry_tpu.utils.profiling import StageTimer
 
@@ -44,8 +44,8 @@ def main(argv=None) -> int:
     g1 = load_gray(args.image1)
     g2 = load_gray(args.image2)
     with timer.stage("detect+describe"):
-        f1 = detect_and_describe(jnp.asarray(g1), pairs, config)
-        f2 = timer.block(detect_and_describe(jnp.asarray(g2), pairs, config))
+        f1 = detect_and_describe_split(jnp.asarray(g1), pairs, config)
+        f2 = timer.block(detect_and_describe_split(jnp.asarray(g2), pairs, config))
     with timer.stage("match"):
         m = timer.block(match_pair(f1, f2, config))
 

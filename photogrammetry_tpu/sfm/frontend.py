@@ -102,17 +102,20 @@ def _detect(gray: jnp.ndarray, config: FrontendConfig) -> PaddedPoints:
     return pts
 
 
-def _describe(gray: jnp.ndarray, pts: PaddedPoints, pairs: jnp.ndarray,
-              config: FrontendConfig) -> DescribedFrame:
-    """BRIEF bits + subpixel coordinates for detected keypoints."""
+def _bits(gray: jnp.ndarray, pts: PaddedPoints,
+          pairs: jnp.ndarray) -> jnp.ndarray:
+    """Masked BRIEF bits for detected keypoints."""
     bits = brief_bits(gray, pts.coords, pairs)
-    bits = bits * pts.mask[:, None].astype(bits.dtype)
+    return bits * pts.mask[:, None].astype(bits.dtype)
+
+
+def _xy(gray: jnp.ndarray, pts: PaddedPoints,
+        config: FrontendConfig) -> jnp.ndarray:
+    """(K, 2) float32 (x, y) keypoint coordinates, subpixel-refined."""
     if config.subpixel:
         rc = refine_subpixel(gray, pts.coords)
-        xy = jnp.stack([rc[:, 1], rc[:, 0]], axis=-1)
-    else:
-        xy = keypoints_to_xy(pts.coords)
-    return DescribedFrame(points=pts, bits=bits, xy=xy)
+        return jnp.stack([rc[:, 1], rc[:, 0]], axis=-1)
+    return keypoints_to_xy(pts.coords)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -122,12 +125,18 @@ def detect_keypoints(gray: jnp.ndarray,
     return _detect(gray, config)
 
 
+@partial(jax.jit, static_argnames=())
+def describe_bits(gray: jnp.ndarray, pts: PaddedPoints,
+                  pairs: jnp.ndarray) -> jnp.ndarray:
+    """Jitted BRIEF stage (see detect_and_describe_split)."""
+    return _bits(gray, pts, pairs)
+
+
 @partial(jax.jit, static_argnames=("config",))
-def describe_keypoints(gray: jnp.ndarray, pts: PaddedPoints,
-                       pairs: jnp.ndarray,
-                       config: FrontendConfig) -> DescribedFrame:
-    """Jitted description stage (see detect_and_describe_split)."""
-    return _describe(gray, pts, pairs, config)
+def refine_xy(gray: jnp.ndarray, pts: PaddedPoints,
+              config: FrontendConfig) -> jnp.ndarray:
+    """Jitted subpixel-coordinate stage (see detect_and_describe_split)."""
+    return _xy(gray, pts, config)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -137,20 +146,27 @@ def detect_and_describe(gray: jnp.ndarray, pairs: jnp.ndarray,
 
     One fused jit — the composable form (vmap/batch/mesh-sharding, the
     compile-checked entry point).  For single-frame host-loop use prefer
-    ``detect_and_describe_split``: on the current TPU runtime a single
-    program combining the detection pipeline with the descriptor's image
-    gathers lands on a slow synchronous dispatch path (~40 ms/call vs
-    ~0.1 ms for the two stages dispatched separately).
+    ``detect_and_describe_split``: on the current TPU runtime, XLA lowers
+    per-keypoint image gathers onto a ~400x slower serial path whenever a
+    single program contains more than one of them (docs/tpu_notes.md), so
+    the fused form runs at ~40 ms/frame where the split form runs at
+    ~0.1 ms/frame for identical results.
     """
-    return _describe(gray, _detect(gray, config), pairs, config)
+    pts = _detect(gray, config)
+    return DescribedFrame(points=pts, bits=_bits(gray, pts, pairs),
+                          xy=_xy(gray, pts, config))
 
 
 def detect_and_describe_split(gray: jnp.ndarray, pairs: jnp.ndarray,
                               config: FrontendConfig) -> DescribedFrame:
-    """Same result as ``detect_and_describe``, dispatched as two programs
-    (detect | describe) — the fast path for host-sequenced pipelines."""
-    return describe_keypoints(gray, detect_keypoints(gray, config), pairs,
-                              config)
+    """Same result as ``detect_and_describe``, dispatched as three programs
+    (detect | brief | refine) so each contains exactly one large gather —
+    the fast path for host-sequenced pipelines (~0.1 ms vs ~40 ms fused on
+    1920x1080; see docs/tpu_notes.md)."""
+    pts = detect_keypoints(gray, config)
+    return DescribedFrame(points=pts,
+                          bits=describe_bits(gray, pts, pairs),
+                          xy=refine_xy(gray, pts, config))
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -23,7 +23,7 @@ import numpy as np
 
 from photogrammetry_tpu.sfm.ba import BAProblem, BAState, bundle_adjust, project
 from photogrammetry_tpu.sfm.frontend import (
-    FrontendConfig, detect_and_describe, make_pairs, match_pair,
+    FrontendConfig, detect_and_describe_split, make_pairs, match_pair,
 )
 from photogrammetry_tpu.sfm.tracks import (
     TrackTable, extend_tracks, first_last_observations, make_track_table,
@@ -206,7 +206,7 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
         if done + 1 >= num_frames:
             return SfmResult(rs, ts, table, costs, frame_info)
         start_frame = done + 1
-        prev = detect_and_describe(jnp.asarray(frames[done], jnp.float32),
+        prev = detect_and_describe_split(jnp.asarray(frames[done], jnp.float32),
                                    pairs, fc)
         # restore the kp->track mapping of the resumed frame by re-matching
         # its keypoints against the stored observation row
@@ -219,12 +219,12 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
         table = table._replace(
             kp_track=jnp.where(ok, nearest, -1).astype(jnp.int32))
     else:
-        prev = detect_and_describe(jnp.asarray(frames[0], jnp.float32),
+        prev = detect_and_describe_split(jnp.asarray(frames[0], jnp.float32),
                                    pairs, fc)
         table = start_tracks(table, jnp.int32(0), prev.xy, prev.points.mask)
 
     for t in range(start_frame, num_frames):
-        cur = detect_and_describe(jnp.asarray(frames[t], jnp.float32),
+        cur = detect_and_describe_split(jnp.asarray(frames[t], jnp.float32),
                                   pairs, fc)
         m = match_pair(cur, prev, fc)  # rows = current frame's keypoints
         # Epipolar gating: only RANSAC-inlier matches may chain tracks
@@ -264,21 +264,23 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                 )
 
                 pnp_mask = table.obs_mask[t] & table.has_point
-                mask_np = np.asarray(pnp_mask)
 
+                # Device-side median; only 0-d scalars cross to the host
+                # (an array readback here would flip the whole process onto
+                # the slow synchronous dispatch path — docs/tpu_notes.md §3).
                 def med_err(r, t_):
                     err, z = pnp_reprojection_errors(
                         r, t_, table.points, table.obs[t], kmat)
-                    e = np.where(np.asarray(z) > 0, np.asarray(err), np.inf)
-                    return float(np.median(e[mask_np]))
+                    e = jnp.where(z > 0, err, jnp.inf)   # behind-camera: bad
+                    e = jnp.where(pnp_mask, e, jnp.nan)  # non-candidate: out
+                    return float(jnp.nanmedian(e))
 
+                support = int(jnp.sum(pnp_mask))
                 prior_err = (med_err(rs[t - 1], ts[t - 1])
-                             if mask_np.any() else float("inf"))
-                info.update(pnp_support=int(mask_np.sum()),
-                            prior_med_px=prior_err)
-                prior_failed = (
-                    int(mask_np.sum()) >= config.min_pnp_inliers
-                    and prior_err > config.pnp_rescue_px)
+                             if support else float("inf"))
+                info.update(pnp_support=support, prior_med_px=prior_err)
+                prior_failed = (support >= config.min_pnp_inliers
+                                and prior_err > config.pnp_rescue_px)
                 if prior_failed:
                     key, sub = jax.random.split(key)
                     pnp = ransac_pnp(sub, table.points, table.obs[t],
