@@ -88,6 +88,30 @@ def main() -> None:
                     "value": iters / dt, "unit": "iters/s",
                     "vs_baseline": None})
 
+    # --- end-to-end incremental SfM (synthetic pan scene): frames/s + ATE
+    from photogrammetry_tpu.sfm.incremental import (
+        SfmConfig, run_incremental_sfm,
+    )
+    from photogrammetry_tpu.sfm.metrics import absolute_trajectory_error
+    from photogrammetry_tpu.synth.star_scene import (
+        StarSceneConfig, generate_sequence,
+    )
+
+    scene = generate_sequence(StarSceneConfig(num_frames=8, supersample=2))
+    cfg = SfmConfig()
+    run_incremental_sfm(scene["frames"], scene["k"], cfg)      # compile
+    t0 = time.perf_counter()
+    res = run_incremental_sfm(scene["frames"], scene["k"], cfg)
+    dt = time.perf_counter() - t0
+    gt_c = -np.einsum("fji,fj->fi", scene["rs"], scene["ts"])
+    ate = float(absolute_trajectory_error(
+        np.asarray(res.camera_centers, np.float32), gt_c.astype(np.float32)))
+    results.append({"metric": "sfm_frames_per_s_8f_synth",
+                    "value": len(scene["frames"]) / dt, "unit": "frames/s",
+                    "vs_baseline": None})
+    results.append({"metric": "sfm_ate_8f_synth", "value": ate,
+                    "unit": "scene units", "vs_baseline": None})
+
     for r in results:
         r["value"] = round(float(r["value"]), 3)
         if r["vs_baseline"] is not None:

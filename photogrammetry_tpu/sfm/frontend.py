@@ -177,6 +177,32 @@ def detect_and_describe_batch(grays: jnp.ndarray, pairs: jnp.ndarray,
     return jax.vmap(lambda g: detect_and_describe(g, pairs, config))(grays)
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _detect_batch(grays, config):
+    return jax.vmap(lambda g: _detect(g, config))(grays)
+
+
+@partial(jax.jit, static_argnames=())
+def _bits_batch(grays, pts, pairs):
+    return jax.vmap(lambda g, p: _bits(g, p, pairs))(grays, pts)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _xy_batch(grays, pts, config):
+    return jax.vmap(lambda g, p: _xy(g, p, config))(grays, pts)
+
+
+def detect_and_describe_batch_split(grays: jnp.ndarray, pairs: jnp.ndarray,
+                                    config: FrontendConfig) -> DescribedFrame:
+    """Batched frontend as three programs (detect | brief | refine), each a
+    single vmapped gather — the fast-dispatch form of
+    ``detect_and_describe_batch`` (docs/tpu_notes.md)."""
+    pts = _detect_batch(grays, config)
+    return DescribedFrame(points=pts,
+                          bits=_bits_batch(grays, pts, pairs),
+                          xy=_xy_batch(grays, pts, config))
+
+
 class MatchedPair(NamedTuple):
     xy1: jnp.ndarray    # (K, 2) float32 (x, y) pixel coords in frame 1
     xy2: jnp.ndarray    # (K, 2)

@@ -60,6 +60,22 @@ def test_split_equals_fused():
                                    np.asarray(split.xy), atol=0)
 
 
+def test_batch_split_equals_batch():
+    from photogrammetry_tpu.sfm.frontend import (
+        detect_and_describe_batch, detect_and_describe_batch_split,
+    )
+    g = load(STAR)
+    grays = jnp.stack([g, g[::-1]])
+    cfg = FrontendConfig(detection_threshold=50.0, max_keypoints=128,
+                         reduction="nms", suppression_radius=4.0)
+    pairs = make_pairs(cfg)
+    a = detect_and_describe_batch(grays, pairs, cfg)
+    b = detect_and_describe_batch_split(grays, pairs, cfg)
+    assert bool(jnp.all(a.points.coords == b.points.coords))
+    assert bool(jnp.all(a.bits == b.bits))
+    np.testing.assert_array_equal(np.asarray(a.xy), np.asarray(b.xy))
+
+
 def test_split_no_subpixel():
     g = load(STAR)
     cfg = FrontendConfig(detection_threshold=50.0, max_keypoints=128,
