@@ -97,21 +97,19 @@ def _local_schur(r, j_cam, j_pt, lam, fixed_cameras, axis):
     return delta_c, delta_p
 
 
-def distributed_bundle_adjust(state: BAState, prob: BAProblem, mesh: Mesh,
-                              num_iterations: int = 20,
-                              huber_delta: float = 3.0,
-                              init_lambda: float = 1e-3,
-                              fixed_cameras: jnp.ndarray | None = None,
-                              axis: str = "tracks") -> BAResult:
-    """LM bundle adjustment with the Schur step sharded over ``axis``.
+from functools import lru_cache
 
-    Semantics match `bundle_adjust` (same damping/accept logic); landmark
-    capacity must divide the mesh axis size.
+
+@lru_cache(maxsize=None)
+def _build_dist_ba(mesh: Mesh, num_iterations: int, huber_delta: float,
+                   init_lambda: float, axis: str):
+    """Build + jit the sharded LM loop once per (mesh, hyperparams).
+
+    Rebuilding the shard_map closure per call would re-trace (and, over a
+    slow-compile link, re-lower) the whole program every invocation —
+    measured ~5 s/call instead of ~ms.  The cache keys on the hashable
+    Mesh and the static hyperparameters; jit's own cache handles shapes.
     """
-    f = state.rs.shape[0]
-    if fixed_cameras is None:
-        fixed_cameras = jnp.ones((f,)).at[0].set(0.0)
-
     pspec_state = BAState(rs=P(), ts=P(), points=P(axis))
     pspec_prob = BAProblem(obs=P(None, axis, None), mask=P(None, axis), k=P())
 
@@ -145,6 +143,26 @@ def distributed_bundle_adjust(state: BAState, prob: BAProblem, mesh: Mesh,
             length=num_iterations)
         return st, jnp.stack([cost0, cost])
 
+    return jax.jit(run)
+
+
+def distributed_bundle_adjust(state: BAState, prob: BAProblem, mesh: Mesh,
+                              num_iterations: int = 20,
+                              huber_delta: float = 3.0,
+                              init_lambda: float = 1e-3,
+                              fixed_cameras: jnp.ndarray | None = None,
+                              axis: str = "tracks") -> BAResult:
+    """LM bundle adjustment with the Schur step sharded over ``axis``.
+
+    Semantics match `bundle_adjust` (same damping/accept logic); landmark
+    capacity must divide the mesh axis size.
+    """
+    f = state.rs.shape[0]
+    if fixed_cameras is None:
+        fixed_cameras = jnp.ones((f,)).at[0].set(0.0)
+
+    run = _build_dist_ba(mesh, int(num_iterations), float(huber_delta),
+                         float(init_lambda), axis)
     state_out, costs = run(state, prob, fixed_cameras)
     return BAResult(state=state_out, cost=costs[1], initial_cost=costs[0],
                     iterations=jnp.int32(num_iterations))
