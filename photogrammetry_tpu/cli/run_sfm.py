@@ -24,6 +24,11 @@ def main(argv=None) -> int:
     ap.add_argument("--cloud", default="cloud.ply")
     ap.add_argument("--trajectory", default="trajectory.json")
     ap.add_argument("--stats", default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="snapshot path; reruns resume from the last "
+                         "snapshot (store/checkpoint.py)")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="ignore an existing checkpoint and start fresh")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -55,17 +60,21 @@ def main(argv=None) -> int:
             ap.error(f"need >= 2 frames in {args.frames}")
         frames = np.stack([load_gray(p) for p in paths])
         h, w = frames.shape[1:3]
-        fx = args.fx or 1.2 * w
-        k = np.array([[fx, 0, args.cx or w / 2],
-                      [0, fx, args.cy or h / 2],
-                      [0, 0, 1]], np.float32)
+        fx = args.fx if args.fx is not None else 1.2 * w
+        if fx <= 0:
+            ap.error(f"--fx must be positive, got {fx}")
+        cx = args.cx if args.cx is not None else w / 2
+        cy = args.cy if args.cy is not None else h / 2
+        k = np.array([[fx, 0, cx], [0, fx, cy], [0, 0, 1]], np.float32)
 
     cfg = SfmConfig(frontend=FrontendConfig(
         detection_threshold=args.detection_threshold, max_keypoints=384,
         reduction="nms", suppression_radius=4.0, hamming_threshold=80),
         prune_px=1.5)
     with timer.stage("sfm"):
-        res = run_incremental_sfm(frames, k, cfg)
+        res = run_incremental_sfm(frames, k, cfg,
+                                  checkpoint_path=args.checkpoint,
+                                  resume=not args.no_resume)
 
     write_ply(args.cloud, res.points)
     traj = {"centers": res.camera_centers.tolist(),
