@@ -20,7 +20,7 @@ Two layers:
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -95,9 +95,6 @@ def _local_schur(r, j_cam, j_pt, lam, fixed_cameras, axis):
     rhs_p = b_p - jnp.einsum("ftij,fi->tj", w_cp, delta_c)
     delta_p = jnp.einsum("tij,tj->ti", hpp_inv, rhs_p)
     return delta_c, delta_p
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
