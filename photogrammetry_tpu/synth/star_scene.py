@@ -17,8 +17,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from photogrammetry_tpu.core.lie import so3_exp
-import jax.numpy as jnp
 
 
 @dataclass
@@ -93,7 +91,14 @@ def pan_trajectory(cfg: StarSceneConfig):
         cx = a * 2 * cfg.pan_radius
         # Yaw keeps the star centered in frame throughout the pan.
         yaw = float(np.arctan2(cx, cfg.depth))
-        r = np.asarray(so3_exp(jnp.array([0.0, yaw, 0.0])))
+        # Pure-numpy yaw rotation: scene generation must not touch the
+        # device — a device→host array readback here would flip the whole
+        # process onto the slow synchronous dispatch path and tax every
+        # later SfM dispatch ~25 ms (docs/tpu_notes.md §3).
+        cy_, sy_ = np.cos(yaw), np.sin(yaw)
+        r = np.array([[cy_, 0.0, sy_],
+                      [0.0, 1.0, 0.0],
+                      [-sy_, 0.0, cy_]], np.float64)
         center = np.array([cx, 0.0, 0.0])
         t = -r @ center
         rs.append(r)
