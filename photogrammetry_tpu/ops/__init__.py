@@ -14,3 +14,9 @@ from photogrammetry_tpu.ops.dewarp import (
     solve_undistorted_radius,
 )
 from photogrammetry_tpu.ops.cluster import grid_cluster_keypoints
+from photogrammetry_tpu.ops.calibrate import (
+    calibrate_distortion,
+    calibrate_from_image,
+    distort_points,
+    undistort_points,
+)

@@ -38,12 +38,34 @@ def solve_undistorted_radius(rd: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarra
     with an epsilon; rd == 0 maps to r == 0.
     """
     k1, k2, k3, k4, k5 = (coeffs[i] for i in range(5))
-    den = rd * k5 - k2
+    # Clearing denominators: (k2 - rd k5) r^3 + (k1 - rd k4) r^2
+    #                        + (1 - rd k3) r - rd = 0.
+    a_lead = k2 - rd * k5
+    b_lead = k1 - rd * k4
+    c_lin = 1.0 - rd * k3
+
+    den = -a_lead
     den = jnp.where(jnp.abs(den) < _EPS, jnp.where(den < 0, -_EPS, _EPS), den)
-    b = (rd * k4 - k1) / den
-    c = (rd * k3 - 1.0) / den
+    b = -b_lead / den
+    c = -c_lin / den
     d = rd / den
-    r = middle_real_root(b, c, d)
+    r_cubic = middle_real_root(b, c, d)
+
+    # Degenerate leading coefficient (e.g. k2 = k5 = 0, a pure-k1 model):
+    # the equation is a quadratic/linear in r.  The citardauq form
+    # 2 rd / (c_lin + sqrt(c_lin^2 + 4 b_lead rd)) is continuous through
+    # BOTH degeneracies (b_lead -> 0 gives rd / c_lin exactly).
+    disc_q = jnp.maximum(c_lin * c_lin + 4.0 * b_lead * rd, 0.0)
+    qden = c_lin + jnp.sqrt(disc_q)
+    qden = jnp.where(jnp.abs(qden) < 1e-9,
+                     jnp.where(qden < 0, -1e-9, 1e-9), qden)
+    r_quad = 2.0 * rd / qden
+
+    # Use the cubic only where its term actually matters — elsewhere its
+    # 1/a_lead coefficient blow-up is pure noise (and NaN at exactly 0).
+    cubic_sig = jnp.abs(a_lead) * rd ** 3
+    rest_sig = jnp.abs(b_lead) * rd ** 2 + jnp.abs(c_lin) * rd + rd
+    r = jnp.where(cubic_sig > 1e-4 * rest_sig, r_cubic, r_quad)
     return jnp.where(rd <= 0.0, 0.0, r)
 
 

@@ -1,0 +1,103 @@
+"""Distortion calibration (ops/calibrate.py): plumb-line LM + Hough lines."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photogrammetry_tpu.ops.calibrate import (
+    assign_points_to_lines, calibrate_distortion, calibrate_from_image,
+    distort_points, extract_edge_points, hough_from_points, line_residuals,
+    undistort_points,
+)
+
+TRUE = jnp.array([3e-4, 1e-7, 0.0, 0.0, 0.0], jnp.float32)
+H, W = 480, 640
+CENTER = jnp.array([H / 2.0, W / 2.0], jnp.float32)
+
+
+def synthetic_lines(num_lines=10, pts_per_line=64, seed=0):
+    rng = np.random.default_rng(seed)
+    groups = []
+    for _ in range(num_lines):
+        p0 = rng.uniform([0, 0], [H, W])
+        d = rng.normal(size=2)
+        d /= np.linalg.norm(d)
+        t = np.linspace(-300, 300, pts_per_line)
+        groups.append(p0[None, :] + t[:, None] * d[None, :])
+    pts = jnp.asarray(np.stack(groups), jnp.float32)
+    return pts, jnp.ones(pts.shape[:2], bool)
+
+
+def test_distort_undistort_roundtrip():
+    pts, _ = synthetic_lines()
+    dist = distort_points(pts, TRUE, CENTER)
+    # distortion actually moves points
+    assert float(jnp.max(jnp.linalg.norm(dist - pts, axis=-1))) > 5.0
+    back = undistort_points(dist, TRUE, CENTER)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=2e-2)
+
+
+def test_line_residuals_zero_for_straight():
+    pts, mask = synthetic_lines()
+    r = line_residuals(pts, mask)
+    assert float(jnp.max(jnp.abs(r))) < 1e-2
+
+
+def test_calibrate_recovers_exact_coefficients():
+    pts, mask = synthetic_lines()
+    dist = distort_points(pts, TRUE, CENTER)
+    res = calibrate_distortion(dist, mask, CENTER, num_iterations=40)
+    np.testing.assert_allclose(np.asarray(res.coeffs[:2]),
+                               [3e-4, 1e-7], rtol=1e-3)
+    assert float(res.cost) < 1e-3 * float(res.initial_cost)
+
+
+def test_calibrate_partial_groups_and_param_mask():
+    pts, mask = synthetic_lines()
+    mask = mask.at[:, ::3].set(False)        # holes in every line
+    dist = distort_points(pts, TRUE, CENTER)
+    pm = jnp.array([1.0, 0.0, 0.0, 0.0, 0.0])
+    res = calibrate_distortion(dist, mask, CENTER, num_iterations=40,
+                               param_mask=pm)
+    # k2 frozen at zero; k1 still lands near the truth
+    assert float(res.coeffs[1]) == 0.0
+    assert abs(float(res.coeffs[0]) - 3e-4) < 1e-4
+
+
+def test_hough_finds_planted_lines():
+    img = np.zeros((H, W), np.float32)
+    img[100, :] = 255.0   # horizontal line -> theta ~ 0, rho ~ 100-240
+    img[:, 500] = 255.0   # vertical line  -> theta ~ pi/2, rho ~ 500-320
+    pts, val = extract_edge_points(jnp.asarray(img), num_points=2048)
+    extent = float(np.hypot(H / 2, W / 2))
+    lines = hough_from_points(pts, val, CENTER, extent, num_lines=2)
+    got = sorted((float(t), float(r)) for t, r in zip(lines.theta, lines.rho))
+    # theta=0 normal is the row axis: rho = row - H/2 = -140
+    assert abs(got[0][0] - 0.0) < 0.05 and abs(got[0][1] - (100 - 240)) < 4
+    assert abs(got[1][0] - np.pi / 2) < 0.05 and abs(got[1][1] - (500 - 320)) < 4
+
+    ti, mask = assign_points_to_lines(pts, val, lines, CENTER, tol=3.0)
+    counts = np.asarray(mask.sum(axis=1))
+    assert (counts > 100).all()
+
+
+@pytest.mark.slow
+def test_calibrate_from_image_grid():
+    from photogrammetry_tpu.ops.dewarp import (
+        apply_distortion_map, generate_distortion_map,
+    )
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    grid = ((xx % 96 < 3) | (yy % 96 < 3)).astype(np.float32) * 255.0
+    dmap = generate_distortion_map(H, W, TRUE)
+    distorted = apply_distortion_map(jnp.asarray(grid), dmap)
+    res = calibrate_from_image(distorted, num_lines=10, tol=6.0, rounds=3,
+                               num_iterations=40)
+    k1, k2 = float(res.coeffs[0]), float(res.coeffs[1])
+    # pixel-quantized edges put a noise floor under the fit; require the
+    # recovered model to agree with the truth functionally: max remap
+    # displacement difference across the image under 4 px.
+    assert 1e-4 < k1 < 6e-4
+    r = jnp.linspace(0.0, float(np.hypot(H / 2, W / 2)), 256)
+    def fwd(k, rr):
+        return rr * (1 + k[0] * rr + k[1] * rr ** 2)
+    diff = jnp.max(jnp.abs(fwd(res.coeffs, r) - fwd(TRUE, r)))
+    assert float(diff) < 4.0
