@@ -116,27 +116,32 @@ def _build_dist_ba(mesh: Mesh, num_iterations: int, huber_delta: float,
              check_rep=False)
     def run(state_l, prob_l, fixed):
         def cost_of(st):
-            _, _, _, c = residuals_and_jacobians(st, prob_l, huber_delta)
-            return lax.psum(c, axis)
+            _, _, _, c, nv = residuals_and_jacobians(st, prob_l, huber_delta)
+            return lax.psum(c, axis), lax.psum(nv, axis)
 
-        cost0 = cost_of(state_l)
+        cost0, nvalid0 = cost_of(state_l)
 
         def body(carry, _):
-            st, lam, cost = carry
-            r, j_cam, j_pt, _ = residuals_and_jacobians(st, prob_l,
-                                                        huber_delta)
+            st, lam, cost, nvalid = carry
+            r, j_cam, j_pt, _, _ = residuals_and_jacobians(st, prob_l,
+                                                           huber_delta)
             delta_c, delta_p = _local_schur(r, j_cam, j_pt, lam, fixed, axis)
             cand = apply_step(st, delta_c, delta_p)
-            new_cost = cost_of(cand)
-            accept = new_cost < cost
+            new_cost, new_nvalid = cost_of(cand)
+            # Same support guard as bundle_adjust.body: reject steps that
+            # zero the cost by throwing observations behind the cameras.
+            support_ok = new_nvalid.astype(jnp.float32) >= \
+                0.9 * nvalid.astype(jnp.float32)
+            accept = (new_cost < cost) & jnp.isfinite(new_cost) & support_ok
             st = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, st)
             cost = jnp.where(accept, new_cost, cost)
+            nvalid = jnp.where(accept, new_nvalid, nvalid)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
                             jnp.minimum(lam * 4.0, 1e6))
-            return (st, lam, cost), cost
+            return (st, lam, cost, nvalid), cost
 
-        (st, _, cost), _ = lax.scan(
-            body, (state_l, jnp.float32(init_lambda), cost0), None,
+        (st, _, cost, _), _ = lax.scan(
+            body, (state_l, jnp.float32(init_lambda), cost0, nvalid0), None,
             length=num_iterations)
         return st, jnp.stack([cost0, cost])
 

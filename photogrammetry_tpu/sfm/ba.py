@@ -93,12 +93,17 @@ def residuals_and_jacobians(state: BAState, prob: BAProblem,
     j_cam = j_cam * sw[..., None, None]
     j_pt = j_pt * sw[..., None, None]
 
-    # robust (Huber) cost
+    # robust (Huber) cost over valid observations.  Validity (in front of
+    # the camera) is state-dependent, so the raw cost alone is gameable: a
+    # diverged step that throws the whole map behind the cameras zeroes it.
+    # The LM loop therefore also receives the valid-observation count and
+    # rejects steps that collapse support (see bundle_adjust.body).
     quad = 0.5 * rn ** 2
     lin = huber_delta * (rn - 0.5 * huber_delta)
     cost = jnp.sum(jnp.where(rn <= huber_delta, quad, lin)
                    * valid.astype(jnp.float32))
-    return r, j_cam, j_pt, cost
+    num_valid = jnp.sum(valid)
+    return r, j_cam, j_pt, cost, num_valid
 
 
 def _inv3(m):
@@ -212,27 +217,36 @@ def bundle_adjust(state: BAState, prob: BAProblem,
     if fixed_cameras is None:
         fixed_cameras = jnp.ones((f,)).at[0].set(0.0)
 
-    _, _, _, cost0 = residuals_and_jacobians(state, prob, huber_delta)
+    _, _, _, cost0, nvalid0 = residuals_and_jacobians(state, prob,
+                                                      huber_delta)
 
     def body(carry, _):
-        state, lam, cost = carry
-        r, j_cam, j_pt, _ = residuals_and_jacobians(state, prob, huber_delta)
+        state, lam, cost, nvalid = carry
+        r, j_cam, j_pt, _, _ = residuals_and_jacobians(state, prob,
+                                                       huber_delta)
         if not optimize_points:
             j_pt = jnp.zeros_like(j_pt)
         delta_c, delta_p = schur_solve(r, j_cam, j_pt, lam, fixed_cameras,
                                        use_pallas=use_pallas_schur)
         cand = apply_step(state, delta_c, delta_p, optimize_points)
-        _, _, _, new_cost = residuals_and_jacobians(cand, prob, huber_delta)
-        accept = new_cost < cost
+        _, _, _, new_cost, new_nvalid = residuals_and_jacobians(
+            cand, prob, huber_delta)
+        # Support guard: validity is state-dependent, so a diverged step
+        # that throws observations behind the cameras lowers the cost for
+        # free.  Reject any step losing >10% of the current support.
+        support_ok = new_nvalid.astype(jnp.float32) >= \
+            0.9 * nvalid.astype(jnp.float32)
+        accept = (new_cost < cost) & jnp.isfinite(new_cost) & support_ok
         state = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), cand, state)
         cost = jnp.where(accept, new_cost, cost)
+        nvalid = jnp.where(accept, new_nvalid, nvalid)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
                         jnp.minimum(lam * 4.0, 1e6))
-        return (state, lam, cost), cost
+        return (state, lam, cost, nvalid), cost
 
-    (state, _, cost), _ = lax.scan(
-        body, (state, jnp.float32(init_lambda), cost0), None,
+    (state, _, cost, _), _ = lax.scan(
+        body, (state, jnp.float32(init_lambda), cost0, nvalid0), None,
         length=num_iterations)
     return BAResult(state=state, cost=cost, initial_cost=cost0,
                     iterations=jnp.int32(num_iterations))

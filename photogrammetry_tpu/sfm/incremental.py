@@ -27,7 +27,7 @@ from photogrammetry_tpu.sfm.frontend import (
 )
 from photogrammetry_tpu.sfm.tracks import (
     TrackTable, extend_tracks, first_last_observations, make_track_table,
-    start_tracks,
+    reassociate_to_landmarks, start_tracks,
 )
 from photogrammetry_tpu.sfm.epipolar import ransac_fundamental
 from photogrammetry_tpu.sfm.two_view import two_view_pipeline
@@ -35,13 +35,21 @@ from photogrammetry_tpu.sfm.two_view import two_view_pipeline
 
 @dataclass(frozen=True)
 class SfmConfig:
+    # Frontend capacity drives accuracy directly: landmark count is the
+    # strongest ATE lever on the synthetic pan benchmark (256 kps -> ATE
+    # ~0.14, 512 kps -> ~0.02 scene units, 8-frame sequence).
     frontend: FrontendConfig = FrontendConfig(
-        suppression_radius=4.0, hamming_threshold=80, max_keypoints=256)
+        suppression_radius=4.0, hamming_threshold=80, max_keypoints=512,
+        detection_threshold=20.0)
     track_capacity: int = 1024
     ransac_threshold: float = 1.5
     ransac_samples: int = 1000
-    ba_iterations: int = 15
+    ba_iterations: int = 30
     window: int = 8               # BA window (frames)
+    # Final global BA over ALL frames (gauge camera 0 fixed) after the
+    # incremental loop: recovers the drift a bounded window accumulates
+    # (12-frame pan: windowed 0.108 -> polished 0.035 ATE).
+    final_ba_iterations: int = 30
     # Absolute-pose (PnP) initialization for frames >= 2: RANSAC DLT pose
     # from observations of already-triangulated landmarks; falls back to
     # previous-pose when fewer than min_pnp_inliers support it.
@@ -58,6 +66,11 @@ class SfmConfig:
     # Triangulate new tracks from ALL observing views (mask-weighted
     # multi-view DLT) instead of only the first/last observation pair.
     nview_triangulation: bool = True
+    # Map-guided track re-association (tracks.reassociate_to_landmarks):
+    # after pose estimation, keypoints whose consecutive-frame match chain
+    # broke re-attach to landmark tracks projecting within reassociate_px.
+    reassociate: bool = True
+    reassociate_px: float = 4.0
     min_depth: float = 1e-3
     max_depth: float = 1e3
     prune_px: float = 3.0         # reprojection-error observation pruning
@@ -130,6 +143,24 @@ def _triangulate_tracks_nview(table: TrackTable, rs, ts, k,
     points = jnp.where(accept[:, None], pts, table.points)
     return table._replace(points=points,
                           has_point=table.has_point | accept)
+
+
+@jax.jit
+def _rescale_gauge(rs, ts, table: TrackTable):
+    """Similarity-rescale the reconstruction about camera 0's center so
+    ||center_1 - center_0|| == 1 (the two-view bootstrap's unit baseline).
+
+    Rotations and the projective image of every point are invariant under a
+    similarity about c0; only ts and landmarks change.  Guarded to a no-op
+    when frames 0/1 coincide (pre-bootstrap)."""
+    centers = -jnp.einsum("fji,fj->fi", rs, ts)
+    baseline = jnp.linalg.norm(centers[1] - centers[0])
+    s = jnp.where(baseline > 1e-9, 1.0 / jnp.maximum(baseline, 1e-9), 1.0)
+    c0 = centers[0]
+    new_centers = c0[None, :] + s * (centers - c0[None, :])
+    new_ts = -jnp.einsum("fij,fj->fi", rs, new_centers)
+    new_points = c0[None, :] + s * (table.points - c0[None, :])
+    return rs, new_ts, table._replace(points=new_points)
 
 
 @jax.jit
@@ -309,6 +340,15 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                                 fixed_cameras=fixed, optimize_points=False)
             rs, ts = res.state.rs, res.state.ts
 
+            # Map-guided re-association: re-attach keypoints whose
+            # consecutive-frame chain broke to the landmark tracks they
+            # project onto (now that frame t's pose is estimated).
+            if config.reassociate:
+                table, n_re = reassociate_to_landmarks(
+                    table, jnp.int32(t), cur.xy, cur.points.mask,
+                    rs[t], ts[t], kmat, config.reassociate_px)
+                info["reassociated"] = int(n_re)
+
         if config.nview_triangulation:
             table = _triangulate_tracks_nview(table, rs, ts, kmat,
                                               config.min_depth,
@@ -326,7 +366,7 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
         w0 = max(0, t + 1 - config.window)
         fixed = jnp.zeros((num_frames,))
         fixed = fixed.at[jnp.arange(w0, t + 1)].set(1.0)
-        fixed = fixed.at[0].set(0.0)  # gauge
+        fixed = fixed.at[0].set(0.0)  # SE(3) gauge
         if config.mesh is not None:
             from photogrammetry_tpu.parallel.dist_ba import (
                 distributed_bundle_adjust,
@@ -341,6 +381,12 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                                 fixed_cameras=fixed)
         rs, ts = res.state.rs, res.state.ts
         table = table._replace(points=res.state.points)
+        # Monocular scale gauge: with only camera 0 frozen the similarity
+        # scale is a flat direction of the BA cost and long LM runs drift
+        # along it.  Rather than freezing camera 1 (which would anchor its
+        # two-view pose error forever), renormalize the reconstruction
+        # about camera 0's center so the 0-1 baseline stays unit length.
+        rs, ts, table = _rescale_gauge(rs, ts, table)
         table = _prune_observations(table, rs, ts, kmat, config.prune_px)
         costs.append(float(res.cost))
         frame_info.append(info)
@@ -352,5 +398,29 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
 
             save_checkpoint(checkpoint_path, rs, ts, table, t,
                             metadata={"frame": t, "cost": costs[-1]})
+
+    if config.final_ba_iterations > 0 and num_frames >= 2:
+        state = BAState(rs=rs, ts=ts, points=table.points)
+        prob = BAProblem(obs=table.obs,
+                         mask=table.obs_mask & table.has_point[None, :],
+                         k=kmat)
+        fixed = jnp.ones((num_frames,)).at[0].set(0.0)
+        if config.mesh is not None:
+            from photogrammetry_tpu.parallel.dist_ba import (
+                distributed_bundle_adjust,
+            )
+
+            res = distributed_bundle_adjust(
+                state, prob, config.mesh,
+                num_iterations=config.final_ba_iterations,
+                fixed_cameras=fixed)
+        else:
+            res = bundle_adjust(state, prob,
+                                num_iterations=config.final_ba_iterations,
+                                fixed_cameras=fixed)
+        rs, ts = res.state.rs, res.state.ts
+        table = table._replace(points=res.state.points)
+        rs, ts, table = _rescale_gauge(rs, ts, table)
+        costs.append(float(res.cost))
 
     return SfmResult(rs, ts, table, costs, frame_info)

@@ -94,6 +94,60 @@ def extend_tracks(table: TrackTable, frame_idx: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=())
+def reassociate_to_landmarks(table: TrackTable, frame_idx: jnp.ndarray,
+                             xy: jnp.ndarray, kp_mask: jnp.ndarray,
+                             r_t: jnp.ndarray, t_t: jnp.ndarray,
+                             k: jnp.ndarray,
+                             radius: jnp.ndarray) -> tuple:
+    """Map-guided track re-association ("track by projection").
+
+    Consecutive-frame descriptor matching alone lets tracks die whenever one
+    link fails, orphaning observations into short fragments (the dominant
+    accuracy loss on the synthetic pan sequence: hundreds of 1-2 obs
+    fragments).  After frame ``frame_idx``'s pose is estimated, project every
+    triangulated landmark into the frame and re-attach keypoints whose
+    chain broke: a keypoint that opened a fresh singleton this frame (or was
+    dropped) claims a landmark track projecting within ``radius`` px, by
+    mutual-nearest assignment.  The singleton's observation moves onto the
+    landmark's track (the freed slot stays allocated but empty — static
+    shapes, no compaction).
+
+    Returns (table, num_reassociated).
+    """
+    cap = table.points.shape[0]
+    kcount = xy.shape[0]
+
+    pc = table.points @ r_t.T + t_t                      # (T, 3)
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    proj = jnp.stack([k[0, 0] * pc[:, 0] / zs + k[0, 2],
+                      k[1, 1] * pc[:, 1] / zs + k[1, 2]], axis=-1)
+
+    cand = table.has_point & (z > 1e-3) & ~table.obs_mask[frame_idx]
+    nobs = jnp.sum(table.obs_mask, axis=0)               # includes frame t
+    tid_now = table.kp_track
+    own = nobs[jnp.clip(tid_now, 0)]
+    eligible = kp_mask & ((tid_now < 0) | (own <= 1))
+
+    d = jnp.linalg.norm(xy[:, None, :] - proj[None, :, :], axis=-1)
+    d = jnp.where(cand[None, :] & eligible[:, None], d, jnp.inf)
+    best_lm = jnp.argmin(d, axis=1)                      # (K,)
+    best_d = jnp.min(d, axis=1)
+    best_kp = jnp.argmin(d, axis=0)                      # (T,)
+    mutual = best_kp[best_lm] == jnp.arange(kcount)
+    take = eligible & mutual & (best_d <= radius)
+
+    old_tid = jnp.where(take & (tid_now >= 0), tid_now, cap)
+    obs_mask = table.obs_mask.at[frame_idx, old_tid].set(False, mode="drop")
+    new_tid = jnp.where(take, best_lm, cap)
+    obs = table.obs.at[frame_idx, new_tid].set(xy, mode="drop")
+    obs_mask = obs_mask.at[frame_idx, new_tid].set(True, mode="drop")
+    kp_track = jnp.where(take, best_lm, tid_now).astype(jnp.int32)
+    return table._replace(obs=obs, obs_mask=obs_mask, kp_track=kp_track), \
+        jnp.sum(take).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=())
 def first_last_observations(table: TrackTable):
     """Per track: (first_frame, last_frame) observing it (int32, -1 if <1)."""
     f = table.obs.shape[0]

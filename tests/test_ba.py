@@ -59,7 +59,8 @@ def test_jacobians_match_autodiff():
         r = (pred - prob.obs) * prob.mask[..., None]
         return r
 
-    r, j_cam, j_pt, _ = residuals_and_jacobians(state, prob, huber_delta=1e9)
+    r, j_cam, j_pt, _, _ = residuals_and_jacobians(state, prob,
+                                                   huber_delta=1e9)
 
     # autodiff J wrt points for a spot-check subset
     jac = jax.jacobian(lambda p: flat_residuals(state.rs, state.ts, p))(
@@ -126,3 +127,22 @@ def test_ba_robust_to_outliers():
     ate = float(absolute_trajectory_error(jnp.asarray(est_centers),
                                           jnp.asarray(centers_gt)))
     assert ate < 0.02, ate
+
+
+def test_long_lm_run_stays_stable():
+    """Many LM iterations must never diverge: validity is state-dependent,
+    so without the support guard a diverged step that throws the map behind
+    the cameras zeroes the cost and gets accepted as a perfect fit
+    (round-2 regression: 40-iteration runs went NaN)."""
+    state, prob, *_ = make_problem(noise_px=1.0, pose_noise=0.08,
+                                   point_noise=0.2)
+    res = bundle_adjust(state, prob, num_iterations=80)
+    assert bool(jnp.isfinite(res.cost))
+    assert float(res.cost) <= float(res.initial_cost)
+    for arr in res.state:
+        assert bool(jnp.all(jnp.isfinite(arr)))
+    # the solution still explains most observations in front of the cameras
+    _, z, _ = project(res.state.rs, res.state.ts, res.state.points, prob.k)
+    frac_front = float(jnp.mean((z > 0) & prob.mask)) / max(
+        float(jnp.mean(prob.mask)), 1e-9)
+    assert frac_front > 0.9
