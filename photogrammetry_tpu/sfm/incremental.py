@@ -26,7 +26,8 @@ from photogrammetry_tpu.sfm.frontend import (
     FrontendConfig, detect_and_describe_split, make_pairs, match_pair,
 )
 from photogrammetry_tpu.sfm.tracks import (
-    TrackTable, extend_tracks, first_last_observations, make_track_table,
+    TrackTable, extend_tracks, extend_tracks_with_tid,
+    first_last_observations, make_track_table, merge_skip_matches,
     reassociate_to_landmarks, start_tracks,
 )
 from photogrammetry_tpu.sfm.epipolar import ransac_fundamental
@@ -44,12 +45,27 @@ class SfmConfig:
     track_capacity: int = 1024
     ransac_threshold: float = 1.5
     ransac_samples: int = 1000
+    # Deferred two-view bootstrap: essential-matrix accuracy scales with
+    # parallax (measured on the synthetic pan: the (0,1) pair gives 3-9 deg
+    # rotation / 30-85 deg translation-direction error and seeds basins BA
+    # never escapes; the (0,3) pair is ~5x better at the same noise).
+    # Tracks accumulate poseless until the median frame-0 displacement
+    # reaches bootstrap_min_disp_px (or bootstrap_max_defer frames pass),
+    # then the (0, t) pair initializes and intermediates are PnP'd in.
+    bootstrap_min_disp_px: float = 50.0
+    bootstrap_max_defer: int = 3
+    # Independent bootstrap RANSAC draws; best post-BA support wins.
+    bootstrap_attempts: int = 4
     ba_iterations: int = 30
     window: int = 8               # BA window (frames)
     # Final global BA over ALL frames (gauge camera 0 fixed) after the
     # incremental loop: recovers the drift a bounded window accumulates
     # (12-frame pan: windowed 0.108 -> polished 0.035 ATE).
     final_ba_iterations: int = 30
+    # Refinement rounds around the final BA: each round re-triangulates
+    # EVERY track from the converged poses (landmarks frozen early at
+    # noisy geometry get refreshed), prunes, and re-runs the global BA.
+    final_refine_rounds: int = 2
     # Absolute-pose (PnP) initialization for frames >= 2: RANSAC DLT pose
     # from observations of already-triangulated landmarks; falls back to
     # previous-pose when fewer than min_pnp_inliers support it.
@@ -146,6 +162,24 @@ def _triangulate_tracks_nview(table: TrackTable, rs, ts, k,
 
 
 @jax.jit
+def _retriangulate_all(table: TrackTable, rs, ts, k,
+                       min_depth, max_depth) -> TrackTable:
+    """Re-triangulate EVERY track with >= 2 observations from the current
+    poses (not only un-pointed ones), replacing stale landmarks."""
+    from photogrammetry_tpu.sfm.triangulate import triangulate_nview
+
+    pts, depths = triangulate_nview(table.obs, table.obs_mask, rs, ts, k)
+    n_obs = jnp.sum(table.obs_mask, axis=0)
+    ok = jnp.all(jnp.where(table.obs_mask,
+                           (depths > min_depth) & (depths < max_depth),
+                           True), axis=0)
+    accept = (n_obs >= 2) & ok
+    return table._replace(
+        points=jnp.where(accept[:, None], pts, table.points),
+        has_point=accept)
+
+
+@jax.jit
 def _rescale_gauge(rs, ts, table: TrackTable):
     """Similarity-rescale the reconstruction about camera 0's center so
     ||center_1 - center_0|| == 1 (the two-view bootstrap's unit baseline).
@@ -177,6 +211,70 @@ def _prune_observations(table: TrackTable, rs, ts, k,
     n_obs = jnp.sum(obs_mask, axis=0)
     has_point = table.has_point & (n_obs >= 2)
     return table._replace(obs_mask=obs_mask, has_point=has_point)
+
+
+def _bootstrap_map(key, table: TrackTable, rs, ts, kmat, config: "SfmConfig",
+                   t: int, num_frames: int):
+    """Initialize the map from the (0, t) track pair + PnP intermediates.
+
+    Runs ``bootstrap_attempts`` independent two-view RANSAC draws; each
+    candidate triangulates the (0, t) correspondences, PnP-initializes
+    frames 1..t-1 from the fresh landmarks (track chains pass through every
+    intermediate frame, so support is dense), and bundle-adjusts frames
+    1..t.  The candidate with the largest post-BA support (observations
+    reprojecting within 2 px at positive depth on >= 2 frames) wins.
+    Returns (rs, ts, table-with-landmarks, support).
+    """
+    from photogrammetry_tpu.sfm.pnp import ransac_pnp
+
+    pair_mask = jnp.zeros_like(table.obs_mask)
+    pair_mask = pair_mask.at[0].set(table.obs_mask[0])
+    pair_mask = pair_mask.at[t].set(table.obs_mask[t])
+    both = table.obs_mask[0] & table.obs_mask[t]
+
+    best = None
+    for _ in range(max(1, config.bootstrap_attempts)):
+        key, sub = jax.random.split(key)
+        tv = two_view_pipeline(sub, table.obs[t], table.obs[0], both, kmat,
+                               threshold=config.ransac_threshold,
+                               num_samples=config.ransac_samples)
+        # called with xy1=frame t, xy2=frame 0: (tv.r, tv.t) maps frame-t
+        # coords to frame-0; invert for frame t's world->cam pose.
+        rs_c = rs.at[t].set(tv.r.T)
+        ts_c = ts.at[t].set(-tv.r.T @ tv.t)
+        # triangulate from the (0, t) pair only
+        cand = _triangulate_tracks_nview(
+            table._replace(obs_mask=pair_mask), rs_c, ts_c, kmat,
+            config.min_depth, config.max_depth)
+        cand = cand._replace(obs_mask=table.obs_mask)
+        # PnP the intermediate frames off the fresh landmarks
+        for i in range(1, t):
+            pnp_mask = cand.obs_mask[i] & cand.has_point
+            if int(jnp.sum(pnp_mask)) >= config.min_pnp_inliers:
+                key, sub = jax.random.split(key)
+                pnp = ransac_pnp(sub, cand.points, cand.obs[i], pnp_mask,
+                                 kmat, threshold=config.pnp_threshold,
+                                 num_samples=config.pnp_samples)
+                rs_c = rs_c.at[i].set(pnp.r)
+                ts_c = ts_c.at[i].set(pnp.t)
+        state = BAState(rs=rs_c, ts=ts_c, points=cand.points)
+        prob = BAProblem(obs=cand.obs,
+                         mask=cand.obs_mask & cand.has_point[None, :],
+                         k=kmat)
+        fixed = jnp.zeros((num_frames,))
+        fixed = fixed.at[jnp.arange(1, t + 1)].set(1.0)
+        res = bundle_adjust(state, prob, num_iterations=20,
+                            fixed_cameras=fixed)
+        pred, z, _ = project(res.state.rs, res.state.ts, res.state.points,
+                             kmat)
+        err = jnp.linalg.norm(pred - cand.obs, axis=-1)
+        okobs = prob.mask & (err < 2.0) & (z > config.min_depth)
+        support = int(jnp.sum(jnp.sum(okobs, axis=0) >= 2))
+        if best is None or support > best[0]:
+            best = (support, res.state.rs, res.state.ts,
+                    cand._replace(points=res.state.points))
+    support, rs, ts, table = best
+    return rs, ts, table, support
 
 
 class SfmResult:
@@ -249,10 +347,15 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
             & prev.points.mask
         table = table._replace(
             kp_track=jnp.where(ok, nearest, -1).astype(jnp.int32))
+        map_ready = bool(jnp.any(table.has_point))
     else:
         prev = detect_and_describe_split(jnp.asarray(frames[0], jnp.float32),
                                    pairs, fc)
         table = start_tracks(table, jnp.int32(0), prev.xy, prev.points.mask)
+        map_ready = False
+
+    prev2 = None            # features of frame t-2
+    kp_track_prev2 = None   # frame t-2 keypoint -> track id snapshot
 
     for t in range(start_frame, num_frames):
         cur = detect_and_describe_split(jnp.asarray(frames[t], jnp.float32),
@@ -265,23 +368,52 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                                   threshold=config.ransac_threshold,
                                   num_samples=config.ransac_samples // 2)
         good = m.mask & gate.inliers
-        table = extend_tracks(table, jnp.int32(t), cur.xy, cur.points.mask,
-                              m.idx2, good)
+        kp_track_prev = table.kp_track
+        if prev2 is not None:
+            # Skip-frame matching: a single dropped detection/match no
+            # longer kills a track — unclaimed keypoints also match frame
+            # t-2 (own epipolar gate) and chain onto its tracks.
+            m2 = match_pair(cur, prev2, fc)
+            key, sub = jax.random.split(key)
+            gate2 = ransac_fundamental(sub, m2.xy1, m2.xy2, m2.mask,
+                                       threshold=config.ransac_threshold,
+                                       num_samples=config.ransac_samples // 2)
+            good2 = m2.mask & gate2.inliers
+            tid = merge_skip_matches(kp_track_prev, kp_track_prev2,
+                                     m.idx2, good, m2.idx2, good2,
+                                     config.track_capacity)
+        else:
+            tid = jnp.where(good, kp_track_prev[jnp.clip(m.idx2, 0)],
+                            -1).astype(jnp.int32)
+        table = extend_tracks_with_tid(table, jnp.int32(t), cur.xy,
+                                       cur.points.mask, tid)
         info = {"frame": t, "matches": int(m.num),
-                "gated_matches": int(jnp.sum(good)), "pose_init": "prior"}
+                "gated_matches": int(jnp.sum(good)),
+                "chained": int(jnp.sum(tid >= 0)), "pose_init": "prior"}
 
-        if t == 1:
-            # Two-view bootstrap: relative pose with unit baseline (gauge).
-            tv = two_view_pipeline(key, m.xy1, m.xy2, m.mask, kmat,
-                                   threshold=config.ransac_threshold,
-                                   num_samples=config.ransac_samples)
-            # two_view maps cam(prev=frame0) -> cam(cur=frame1)... but the
-            # pipeline was called with xy1=cur, xy2=prev, so invert.
-            r10 = tv.r
-            t10 = tv.t
-            # (R, t) maps frame-1 coords to frame-0: invert to get frame 1 pose
-            rs = rs.at[1].set(r10.T)
-            ts = ts.at[1].set(-r10.T @ t10)
+        if not map_ready:
+            both = table.obs_mask[0] & table.obs_mask[t]
+            npairs = int(jnp.sum(both))
+            disp = float(jnp.nanmedian(jnp.where(
+                both, jnp.linalg.norm(table.obs[t] - table.obs[0], axis=-1),
+                jnp.nan))) if npairs >= 16 else 0.0
+            force = (t == num_frames - 1) or (t >= config.bootstrap_max_defer)
+            if disp >= config.bootstrap_min_disp_px or force:
+                key, sub = jax.random.split(key)
+                rs, ts, table, support = _bootstrap_map(
+                    sub, table, rs, ts, kmat, config, t, num_frames)
+                map_ready = True
+                info.update(pose_init="bootstrap", bootstrap_pair=(0, t),
+                            bootstrap_disp_px=round(disp, 1),
+                            bootstrap_support=support)
+            else:
+                # keep accumulating tracks poseless
+                info.update(pose_init="deferred",
+                            bootstrap_disp_px=round(disp, 1))
+                frame_info.append(info)
+                prev2, kp_track_prev2 = prev, kp_track_prev
+                prev = cur
+                continue
         else:
             # Pose init: small-motion prior (previous pose) by default;
             # RANSAC PnP against the triangulated map *rescues* the frame
@@ -390,6 +522,7 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
         table = _prune_observations(table, rs, ts, kmat, config.prune_px)
         costs.append(float(res.cost))
         frame_info.append(info)
+        prev2, kp_track_prev2 = prev, kp_track_prev
         prev = cur
 
         if checkpoint_path and (t % checkpoint_every == 0
@@ -400,27 +533,38 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                             metadata={"frame": t, "cost": costs[-1]})
 
     if config.final_ba_iterations > 0 and num_frames >= 2:
-        state = BAState(rs=rs, ts=ts, points=table.points)
-        prob = BAProblem(obs=table.obs,
-                         mask=table.obs_mask & table.has_point[None, :],
-                         k=kmat)
         fixed = jnp.ones((num_frames,)).at[0].set(0.0)
-        if config.mesh is not None:
-            from photogrammetry_tpu.parallel.dist_ba import (
-                distributed_bundle_adjust,
-            )
+        for rnd in range(1 + max(0, config.final_refine_rounds)):
+            if rnd > 0:
+                # Re-triangulate every track from the converged poses:
+                # landmarks frozen early at noisy geometry get refreshed,
+                # which is what lets the pipeline climb out of a bad
+                # bootstrap basin.
+                table = _retriangulate_all(table, rs, ts, kmat,
+                                           config.min_depth,
+                                           config.max_depth)
+                table = _prune_observations(table, rs, ts, kmat,
+                                            config.prune_px)
+            state = BAState(rs=rs, ts=ts, points=table.points)
+            prob = BAProblem(obs=table.obs,
+                             mask=table.obs_mask & table.has_point[None, :],
+                             k=kmat)
+            if config.mesh is not None:
+                from photogrammetry_tpu.parallel.dist_ba import (
+                    distributed_bundle_adjust,
+                )
 
-            res = distributed_bundle_adjust(
-                state, prob, config.mesh,
-                num_iterations=config.final_ba_iterations,
-                fixed_cameras=fixed)
-        else:
-            res = bundle_adjust(state, prob,
-                                num_iterations=config.final_ba_iterations,
-                                fixed_cameras=fixed)
-        rs, ts = res.state.rs, res.state.ts
-        table = table._replace(points=res.state.points)
-        rs, ts, table = _rescale_gauge(rs, ts, table)
-        costs.append(float(res.cost))
+                res = distributed_bundle_adjust(
+                    state, prob, config.mesh,
+                    num_iterations=config.final_ba_iterations,
+                    fixed_cameras=fixed)
+            else:
+                res = bundle_adjust(state, prob,
+                                    num_iterations=config.final_ba_iterations,
+                                    fixed_cameras=fixed)
+            rs, ts = res.state.rs, res.state.ts
+            table = table._replace(points=res.state.points)
+            rs, ts, table = _rescale_gauge(rs, ts, table)
+            costs.append(float(res.cost))
 
     return SfmResult(rs, ts, table, costs, frame_info)

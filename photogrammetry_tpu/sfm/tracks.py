@@ -94,6 +94,66 @@ def extend_tracks(table: TrackTable, frame_idx: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=())
+def extend_tracks_with_tid(table: TrackTable, frame_idx: jnp.ndarray,
+                           xy: jnp.ndarray, kp_mask: jnp.ndarray,
+                           tid: jnp.ndarray) -> TrackTable:
+    """Chain keypoints onto explicit track ids (-1 = no match).
+
+    Same semantics as extend_tracks but the caller resolves matches to
+    track ids itself — used by the two-frame matcher, which merges
+    consecutive-frame and skip-frame (t-2) matches so a single dropped
+    detection no longer kills a track.  Valid-but-unmatched keypoints open
+    new tracks until capacity."""
+    cap = table.points.shape[0]
+    chained = kp_mask & (tid >= 0)
+    tid = jnp.where(chained, tid, -1)
+
+    need_new = kp_mask & ~chained
+    slot = table.num_tracks + jnp.cumsum(need_new.astype(jnp.int32)) - 1
+    fits = slot < cap
+    tid = jnp.where(need_new & fits, slot, tid)
+
+    tid_w = jnp.where(tid >= 0, tid, cap)
+    obs = table.obs.at[frame_idx, tid_w].set(xy, mode="drop")
+    obs_mask = table.obs_mask.at[frame_idx, tid_w].set(True, mode="drop")
+
+    new_alloc = jnp.sum(need_new & fits).astype(jnp.int32)
+    return table._replace(
+        obs=obs, obs_mask=obs_mask, kp_track=tid.astype(jnp.int32),
+        num_tracks=jnp.minimum(table.num_tracks + new_alloc, cap),
+        dropped=table.dropped + jnp.sum(need_new & ~fits).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def merge_skip_matches(kp_track_prev: jnp.ndarray,
+                       kp_track_prev2: jnp.ndarray,
+                       idx_prev: jnp.ndarray, good_prev: jnp.ndarray,
+                       idx_prev2: jnp.ndarray, good_prev2: jnp.ndarray,
+                       capacity: int) -> jnp.ndarray:
+    """Resolve per-keypoint track ids from consecutive (t-1) and skip-frame
+    (t-2) matches.  t-1 matches win; a t-2 match only claims a track no
+    t-1 match claimed, and collisions between t-2 matches keep the lowest
+    keypoint index.  Returns (K,) int32 tid (-1 = none)."""
+    k = idx_prev.shape[0]
+    tid1 = jnp.where(good_prev,
+                     kp_track_prev[jnp.clip(idx_prev, 0)], -1)
+    tid2 = jnp.where(good_prev2,
+                     kp_track_prev2[jnp.clip(idx_prev2, 0)], -1)
+    # drop tid2 claims on tracks already taken by tid1
+    claimed = jnp.zeros((capacity + 1,), bool)
+    claimed = claimed.at[jnp.where(tid1 >= 0, tid1, capacity)].set(
+        True, mode="drop")
+    tid2 = jnp.where((tid2 >= 0) & ~claimed[jnp.clip(tid2, 0)], tid2, -1)
+    # collisions among tid2: lowest keypoint index wins
+    owner = jnp.full((capacity + 1,), k, jnp.int32)
+    owner = owner.at[jnp.where(tid2 >= 0, tid2, capacity)].min(
+        jnp.arange(k, dtype=jnp.int32), mode="drop")
+    tid2 = jnp.where((tid2 >= 0)
+                     & (owner[jnp.clip(tid2, 0)] == jnp.arange(k)), tid2, -1)
+    return jnp.where(tid1 >= 0, tid1, tid2).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=())
 def reassociate_to_landmarks(table: TrackTable, frame_idx: jnp.ndarray,
                              xy: jnp.ndarray, kp_mask: jnp.ndarray,
                              r_t: jnp.ndarray, t_t: jnp.ndarray,
