@@ -11,6 +11,13 @@ standard way:
                  constant, only the psum of the reduced camera system grows)
   strong scaling (--strong): fixed total tracks split n ways; efficiency =
                  n-device speedup / n.
+  overhead       (--overhead): fixed total tracks; compares the n-device
+                 sharded program against the SAME problem unsharded on one
+                 device.  On virtual CPU devices (which share the host's
+                 physical cores) weak/strong "efficiency" measures host
+                 FLOP contention, not the collective schedule — this mode
+                 is the meaningful one there: overhead_ratio = t_n / t_1,
+                 ideal 1.0.
 
 On a real pod slice, run without --force-cpu and the mesh spans the actual
 chips (ICI collectives).  On a dev machine, --force-cpu (default when no TPU
@@ -42,6 +49,9 @@ def _parse_args(argv=None):
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--strong", action="store_true",
                    help="strong scaling: fixed total tracks split n ways")
+    p.add_argument("--overhead", action="store_true",
+                   help="sharding-overhead mode: fixed total tracks, "
+                   "n-device time vs 1-device time for the same problem")
     p.add_argument("--force-cpu", action="store_true", default=None,
                    help="run on virtual CPU devices (default if no TPU)")
     p.add_argument("--stats", default="data/bench/scaling_stats.json",
@@ -106,7 +116,7 @@ def main(argv=None) -> int:
     results = []
     base_ips = None
     for n in sizes:
-        t = (total_tracks_strong if args.strong
+        t = (total_tracks_strong if (args.strong or args.overhead)
              else args.tracks_per_device * n)
         mesh = make_mesh(shape=(n,), axis_names=("tracks",),
                          devices=devices[:n])
@@ -126,7 +136,9 @@ def main(argv=None) -> int:
         ips = args.iterations / dt
         if base_ips is None:
             base_ips = ips
-        if args.strong:
+        if args.overhead:
+            eff = ips / base_ips      # t_1 / t_n; ideal 1.0 on shared cores
+        elif args.strong:
             eff = (ips / base_ips) / (n / sizes[0])
         else:
             eff = ips / base_ips
@@ -135,7 +147,8 @@ def main(argv=None) -> int:
             "mesh_devices": n,
             "frames": f,
             "tracks": t,
-            "mode": "strong" if args.strong else "weak",
+            "mode": ("overhead" if args.overhead
+                     else "strong" if args.strong else "weak"),
             "value": round(ips, 3),
             "unit": "iters/s",
             "scaling_efficiency": round(eff, 3),

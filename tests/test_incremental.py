@@ -48,6 +48,83 @@ def test_track_capacity_drop():
     assert int(table.dropped) == 2
 
 
+def test_merge_skip_matches_priorities():
+    from photogrammetry_tpu.sfm.tracks import merge_skip_matches
+
+    kp_track_prev = jnp.array([5, 6, -1, 7], jnp.int32)    # frame t-1 kps
+    kp_track_prev2 = jnp.array([5, 8, 9, -1], jnp.int32)   # frame t-2 kps
+    # kp0: t-1 match to prev kp0 (track 5)
+    # kp1: no t-1 match; t-2 match to prev2 kp1 (track 8)
+    # kp2: t-2 match to prev2 kp0 -> track 5, already claimed by kp0 -> -1
+    # kp3: t-2 match to prev2 kp2 (track 9)
+    idx_prev = jnp.array([0, -1, -1, -1], jnp.int32)
+    good_prev = jnp.array([True, False, False, False])
+    idx_prev2 = jnp.array([-1, 1, 0, 2], jnp.int32)
+    good_prev2 = jnp.array([False, True, True, True])
+    tid = merge_skip_matches(kp_track_prev, kp_track_prev2, idx_prev,
+                             good_prev, idx_prev2, good_prev2, capacity=16)
+    np.testing.assert_array_equal(np.asarray(tid), [5, 8, -1, 9])
+
+
+def test_merge_skip_matches_collision_keeps_lowest():
+    from photogrammetry_tpu.sfm.tracks import merge_skip_matches
+
+    kp_track_prev = jnp.array([-1, -1], jnp.int32)
+    kp_track_prev2 = jnp.array([3, 3], jnp.int32)
+    idx_prev = jnp.array([-1, -1], jnp.int32)
+    good_prev = jnp.array([False, False])
+    idx_prev2 = jnp.array([0, 1], jnp.int32)   # both claim track 3
+    good_prev2 = jnp.array([True, True])
+    tid = merge_skip_matches(kp_track_prev, kp_track_prev2, idx_prev,
+                             good_prev, idx_prev2, good_prev2, capacity=8)
+    np.testing.assert_array_equal(np.asarray(tid), [3, -1])
+
+
+def test_extend_tracks_with_tid_allocates_new():
+    from photogrammetry_tpu.sfm.tracks import extend_tracks_with_tid
+
+    table = make_track_table(num_frames=2, capacity=8, max_keypoints=3)
+    xy0 = np.array([[1.0, 1], [2, 2], [3, 3]], np.float32)
+    table = start_tracks(table, jnp.int32(0), xy0, np.ones(3, bool))
+    xy1 = np.array([[1.5, 1.5], [9, 9], [3.5, 3.5]], np.float32)
+    tid = jnp.array([0, -1, 2], jnp.int32)     # kp1 opens a new track
+    table = extend_tracks_with_tid(table, jnp.int32(1), xy1,
+                                   jnp.ones(3, dtype=bool), tid)
+    om = np.asarray(table.obs_mask)
+    assert om[1, 0] and om[1, 2] and om[1, 3]
+    assert int(table.num_tracks) == 4
+    np.testing.assert_allclose(np.asarray(table.obs)[1, 3], [9, 9])
+
+
+def test_reassociate_to_landmarks_reclaims_fragment():
+    from photogrammetry_tpu.sfm.tracks import reassociate_to_landmarks
+
+    # track 0: triangulated landmark at (0, 0, 5), observed in frame 0 only.
+    # frame 1: its keypoint failed to chain and opened singleton track 1.
+    table = make_track_table(num_frames=2, capacity=8, max_keypoints=2)
+    k = jnp.array([[100.0, 0, 50], [0, 100.0, 50], [0, 0, 1]])
+    table = start_tracks(table, jnp.int32(0),
+                         np.array([[50.0, 50], [10, 10]], np.float32),
+                         np.array([True, False]))
+    table = table._replace(
+        points=table.points.at[0].set(jnp.array([0.0, 0, 5])),
+        has_point=table.has_point.at[0].set(True))
+    from photogrammetry_tpu.sfm.tracks import extend_tracks_with_tid
+    xy1 = np.array([[50.5, 50.5], [0, 0]], np.float32)
+    table = extend_tracks_with_tid(table, jnp.int32(1), xy1,
+                                   jnp.array([True, False]),
+                                   jnp.array([-1, -1], jnp.int32))
+    assert np.asarray(table.obs_mask)[1, 1]     # singleton fragment
+    table, n = reassociate_to_landmarks(
+        table, jnp.int32(1), jnp.asarray(xy1),
+        jnp.array([True, False]), jnp.eye(3), jnp.zeros(3), k,
+        jnp.float32(4.0))
+    assert int(n) == 1
+    om = np.asarray(table.obs_mask)
+    assert om[1, 0] and not om[1, 1]            # moved onto the landmark
+    assert int(np.asarray(table.kp_track)[0]) == 0
+
+
 # ----------------------------------------------------------- incremental
 @pytest.mark.slow
 def test_incremental_sfm_ate():
