@@ -101,3 +101,30 @@ def test_calibrate_from_image_grid():
         return rr * (1 + k[0] * rr + k[1] * rr ** 2)
     diff = jnp.max(jnp.abs(fwd(res.coeffs, r) - fwd(TRUE, r)))
     assert float(diff) < 4.0
+
+
+def test_calibrate_cli(tmp_path):
+    import json
+    import cv2
+
+    from photogrammetry_tpu.cli.calibrate_dewarp import main
+    from photogrammetry_tpu.ops.dewarp import (
+        apply_distortion_map, generate_distortion_map,
+    )
+
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    grid = ((xx % 96 < 3) | (yy % 96 < 3)).astype(np.float32) * 255.0
+    dmap = generate_distortion_map(H, W, TRUE)
+    distorted = np.asarray(apply_distortion_map(jnp.asarray(grid), dmap))
+    img = tmp_path / "grid.png"
+    cv2.imwrite(str(img), distorted.astype(np.uint8))
+    coeffs_file = tmp_path / "coeffs.json"
+    out = tmp_path / "dewarped.png"
+    rc = main([str(img), "--rounds", "2", "--iterations", "25",
+               "--tol", "6", "--num-lines", "10",
+               "--save-coefficients", str(coeffs_file),
+               "--dewarp-output", str(out)])
+    assert rc == 0
+    fitted = json.load(open(coeffs_file))["coefficients"]
+    assert 1e-4 < fitted[0] < 6e-4
+    assert out.exists()
