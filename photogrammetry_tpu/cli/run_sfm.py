@@ -29,6 +29,11 @@ def main(argv=None) -> int:
                          "snapshot (store/checkpoint.py)")
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore an existing checkpoint and start fresh")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="detect loop closures (MXU place recognition) and "
+                         "optimize the pose graph after SfM")
+    ap.add_argument("--loop-min-gap", type=int, default=3)
+    ap.add_argument("--loop-min-matches", type=int, default=30)
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -68,28 +73,60 @@ def main(argv=None) -> int:
         k = np.array([[fx, 0, cx], [0, fx, cy], [0, 0, 1]], np.float32)
 
     cfg = SfmConfig(frontend=FrontendConfig(
-        detection_threshold=args.detection_threshold, max_keypoints=384,
-        reduction="nms", suppression_radius=4.0, hamming_threshold=80),
-        prune_px=1.5)
+        detection_threshold=args.detection_threshold, max_keypoints=512,
+        reduction="nms", suppression_radius=4.0, hamming_threshold=80))
     with timer.stage("sfm"):
         res = run_incremental_sfm(frames, k, cfg,
                                   checkpoint_path=args.checkpoint,
                                   resume=not args.no_resume)
 
+    rs_out, ts_out = res.rs, res.ts
+    centers_out = res.camera_centers
+    loop_report = None
+    if args.loop_closure:
+        import jax
+        import jax.numpy as jnp
+
+        from photogrammetry_tpu.sfm.frontend import (
+            detect_and_describe_split, make_pairs,
+        )
+        from photogrammetry_tpu.sfm.loop_closure import close_loops
+
+        with timer.stage("loop_closure"):
+            fpairs = make_pairs(cfg.frontend)
+            feats = [detect_and_describe_split(
+                jnp.asarray(f, jnp.float32), fpairs, cfg.frontend)
+                for f in frames]
+            rs_lc, ts_lc, lc_info = close_loops(
+                feats, jnp.asarray(rs_out, jnp.float32),
+                jnp.asarray(ts_out, jnp.float32), jnp.asarray(k),
+                cfg.frontend, key=jax.random.PRNGKey(7),
+                min_gap=args.loop_min_gap,
+                min_matches=args.loop_min_matches)
+            rs_out = np.asarray(rs_lc)
+            ts_out = np.asarray(ts_lc)
+            centers_out = -np.einsum("fji,fj->fi", rs_out, ts_out)
+            loop_report = {
+                "loop_edges": [list(p) for p in lc_info["loop_edges"]],
+                "rejected_edges": len(lc_info.get("rejected_edges", [])),
+            }
+
     write_ply(args.cloud, res.points)
-    traj = {"centers": res.camera_centers.tolist(),
-            "rotations": res.rs.tolist(),
-            "translations": res.ts.tolist()}
+    traj = {"centers": centers_out.tolist(),
+            "rotations": rs_out.tolist(),
+            "translations": ts_out.tolist()}
     report = {"frames": len(frames), "landmarks": len(res.points),
               "final_cost": res.costs[-1] if res.costs else None,
               "timings": timer.summary()}
+    if loop_report is not None:
+        report["loop_closure"] = loop_report
     if gt_centers is not None:
         import jax.numpy as jnp
 
         from photogrammetry_tpu.sfm.metrics import absolute_trajectory_error
 
         report["ate"] = float(absolute_trajectory_error(
-            jnp.asarray(res.camera_centers), jnp.asarray(gt_centers)))
+            jnp.asarray(centers_out), jnp.asarray(gt_centers)))
     with open(args.trajectory, "w") as fh:
         json.dump(traj, fh)
     print(json.dumps(report))

@@ -90,6 +90,11 @@ class SfmConfig:
     min_depth: float = 1e-3
     max_depth: float = 1e3
     prune_px: float = 3.0         # reprojection-error observation pruning
+    # Per-frame diagnostic counters (match/chain/reassociation counts) cost
+    # one device->host scalar round-trip each; disable for maximum
+    # throughput over the TPU tunnel.  Scalars that drive control flow
+    # (PnP rescue, bootstrap trigger/selection) are always read.
+    collect_diagnostics: bool = True
     # Optional jax.sharding.Mesh: windowed BA runs as the distributed
     # psum-Schur step with tracks sharded over its "tracks" axis
     # (track_capacity must divide the axis size).
@@ -387,9 +392,10 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                             -1).astype(jnp.int32)
         table = extend_tracks_with_tid(table, jnp.int32(t), cur.xy,
                                        cur.points.mask, tid)
-        info = {"frame": t, "matches": int(m.num),
-                "gated_matches": int(jnp.sum(good)),
-                "chained": int(jnp.sum(tid >= 0)), "pose_init": "prior"}
+        info = {"frame": t, "pose_init": "prior"}
+        if config.collect_diagnostics:
+            info.update(matches=int(m.num), gated_matches=int(jnp.sum(good)),
+                        chained=int(jnp.sum(tid >= 0)))
 
         if not map_ready:
             both = table.obs_mask[0] & table.obs_mask[t]
@@ -479,7 +485,8 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                 table, n_re = reassociate_to_landmarks(
                     table, jnp.int32(t), cur.xy, cur.points.mask,
                     rs[t], ts[t], kmat, config.reassociate_px)
-                info["reassociated"] = int(n_re)
+                if config.collect_diagnostics:
+                    info["reassociated"] = int(n_re)
 
         if config.nview_triangulation:
             table = _triangulate_tracks_nview(table, rs, ts, kmat,
