@@ -26,9 +26,9 @@ from photogrammetry_tpu.sfm.frontend import (
     FrontendConfig, detect_and_describe_split, make_pairs, match_pair,
 )
 from photogrammetry_tpu.sfm.tracks import (
-    TrackTable, extend_tracks, extend_tracks_with_tid,
-    first_last_observations, make_track_table, merge_skip_matches,
-    reassociate_to_landmarks, start_tracks,
+    TrackTable, extend_tracks_with_tid, first_last_observations,
+    make_track_table, merge_skip_matches, reassociate_to_landmarks,
+    start_tracks,
 )
 from photogrammetry_tpu.sfm.epipolar import ransac_fundamental
 from photogrammetry_tpu.sfm.two_view import two_view_pipeline
