@@ -110,6 +110,17 @@ def main(argv=None) -> int:
                 "loop_edges": [list(p) for p in lc_info["loop_edges"]],
                 "rejected_edges": len(lc_info.get("rejected_edges", [])),
             }
+            # Keep the exported cloud consistent with the corrected
+            # trajectory: re-triangulate landmarks under the pose-graph
+            # poses (the stored points belong to the pre-correction gauge).
+            from photogrammetry_tpu.sfm.triangulate import triangulate_nview
+
+            pts_lc, _ = triangulate_nview(
+                res.table.obs, res.table.obs_mask, rs_lc, ts_lc,
+                jnp.asarray(k, jnp.float32))
+            res.table = res.table._replace(
+                points=jnp.where(res.table.has_point[:, None], pts_lc,
+                                 res.table.points))
 
     write_ply(args.cloud, res.points)
     traj = {"centers": centers_out.tolist(),

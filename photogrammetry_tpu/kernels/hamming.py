@@ -21,11 +21,14 @@ TILE = 128
 
 
 def _kernel(a_ref, b_ref, out_ref):
-    a = a_ref[:].astype(jnp.bfloat16)          # (TILE, P)
-    b = b_ref[:].astype(jnp.bfloat16)          # (P, TILE)
+    # f32 operands: exact for 0/1 bits, and the one matmul dtype combination
+    # the axon AOT Mosaic build accepts (bf16 x bf16 -> f32 is rejected with
+    # "Bad lhs type" there; measured 2026-08, docs/tpu_notes.md).
+    a = a_ref[:].astype(jnp.float32)           # (TILE, P)
+    b = b_ref[:].astype(jnp.float32)           # (P, TILE)
     ab = jnp.dot(a, b, preferred_element_type=jnp.float32)
-    na = jnp.sum(a.astype(jnp.float32), axis=1, keepdims=True)
-    nb = jnp.sum(b.astype(jnp.float32), axis=0, keepdims=True)
+    na = jnp.sum(a, axis=1, keepdims=True)
+    nb = jnp.sum(b, axis=0, keepdims=True)
     out_ref[:] = (na + nb - 2.0 * ab).astype(jnp.int32)
 
 

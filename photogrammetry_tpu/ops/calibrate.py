@@ -262,7 +262,13 @@ def hough_from_points(points: jnp.ndarray, weights: jnp.ndarray,
                       num_thetas: int = 180, num_rhos: int = 512,
                       num_lines: int = 8,
                       suppress: float = 0.05) -> HoughLines:
-    """Top-``num_lines`` Hough peaks voted by weighted points.
+    """Top-``num_lines`` Hough peaks from binary point votes.
+
+    Each point with ``weights > 0`` casts one (unweighted) vote; edge
+    magnitudes only gate participation, they do not scale the vote.  (A
+    magnitude-weighted vote biases peaks toward a few saturated edges;
+    one-point-one-vote favors long lines, which is what the plumb-line
+    fit wants.)
 
     rho is measured from ``center`` (the distortion center, so lines stay
     near their bins under mild distortion); ``extent`` bounds |rho|.  The

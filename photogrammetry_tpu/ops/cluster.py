@@ -117,12 +117,18 @@ def grid_cluster_keypoints(points: PaddedPoints, height: int, width: int,
 
 
 def hierarchical_cluster_exact(coords: np.ndarray,
-                               max_merge_dist: float = 25.0) -> np.ndarray:
+                               max_merge_dist: float = 25.0,
+                               return_linkage: bool = False):
     """Host-side exact replica of HierarchicalClustering.run_clustering
     (hierarchical.py:103-136) for parity testing.
 
     coords: (N, 2) int array.  Returns (M, 2) int32 rounded centroids in the
     reference's output order (iteration over surviving cluster ids).
+
+    With ``return_linkage`` also returns the scipy-style linkage matrix the
+    reference accumulates as ``z`` (hierarchical.py:56-58): one row
+    ``[id1, id2, distance, new_count]`` per merge, new clusters numbered
+    ``n0, n0+1, ...`` in merge order.
     """
     import heapq
 
@@ -147,6 +153,7 @@ def hierarchical_cluster_exact(coords: np.ndarray,
                 heapq.heappush(heap, (d[i], seq, int(i), j))
                 seq += 1
 
+    linkage = []
     while heap:
         dist, _, c1, c2 = heapq.heappop(heap)
         if c1 not in active or c2 not in active:
@@ -154,6 +161,7 @@ def hierarchical_cluster_exact(coords: np.ndarray,
         active.discard(c1)
         active.discard(c2)
         n = counts[c1] + counts[c2]
+        linkage.append((c1, c2, dist, n))
         center = (centers[c1] * counts[c1] + centers[c2] * counts[c2]) / n
         cid = next_id
         next_id += 1
@@ -167,4 +175,9 @@ def hierarchical_cluster_exact(coords: np.ndarray,
         active.add(cid)
 
     out = [np.round(centers[i]).astype(np.int32) for i in sorted(active)]
-    return np.stack(out) if out else np.zeros((0, 2), np.int32)
+    cents = np.stack(out) if out else np.zeros((0, 2), np.int32)
+    if return_linkage:
+        z = (np.asarray(linkage, np.float64).reshape(-1, 4)
+             if linkage else np.zeros((0, 4), np.float64))
+        return cents, z
+    return cents

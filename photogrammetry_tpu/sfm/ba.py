@@ -207,13 +207,22 @@ def bundle_adjust(state: BAState, prob: BAProblem,
                   init_lambda: float = 1e-3,
                   fixed_cameras: jnp.ndarray | None = None,
                   optimize_points: bool = True,
-                  use_pallas_schur: bool = False) -> BAResult:
+                  use_pallas_schur: bool | None = None) -> BAResult:
     """Levenberg-Marquardt bundle adjustment (static iteration count).
 
     fixed_cameras: (F,) float mask; 0 freezes a camera.  Defaults to freezing
     camera 0 (gauge).  optimize_points=False gives motion-only BA.
+
+    use_pallas_schur: None = auto — the fused kernel where it measures
+    faster than the einsum pair on v5e (F <= 16 and T <= 2048: 1432 vs
+    2910 us at F16/T2048; the einsums win at larger sizes —
+    docs/tpu_notes.md), and never on non-TPU backends.
     """
     f = state.rs.shape[0]
+    if use_pallas_schur is None:
+        t_cap = state.points.shape[0]
+        use_pallas_schur = (jax.default_backend() in ("tpu", "axon")
+                            and f <= 16 and t_cap <= 2048)
     if fixed_cameras is None:
         fixed_cameras = jnp.ones((f,)).at[0].set(0.0)
 

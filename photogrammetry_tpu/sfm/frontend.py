@@ -62,7 +62,11 @@ class FrontendConfig:
     ratio_test: float = 0.0           # Lowe ratio (0 disables)
     pair_seed: int = 0
     subpixel: bool = True             # refine corners before geometry
-    use_pallas_matching: bool = False  # tiled Pallas Hamming kernel (TPU)
+    # Tiled Pallas Hamming kernel: None = auto (on for TPU backends, where
+    # it measures faster than the XLA matmul path — 1.015 vs 1.059 ms at
+    # 4096^2x256 on v5e, docs/tpu_notes.md; off elsewhere: interpret mode
+    # on CPU is orders slower).
+    use_pallas_matching: bool | None = None
 
 
 class DescribedFrame(NamedTuple):
@@ -216,7 +220,10 @@ class MatchedPair(NamedTuple):
 def match_pair(f1: DescribedFrame, f2: DescribedFrame,
                config: FrontendConfig) -> MatchedPair:
     """Mutual-nearest Hamming matching between two described frames."""
-    if config.use_pallas_matching:
+    use_pallas = config.use_pallas_matching
+    if use_pallas is None:  # auto: TPU backends only (incl. the axon tunnel)
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
         from photogrammetry_tpu.kernels.hamming import (
             hamming_distance_matrix_pallas,
         )

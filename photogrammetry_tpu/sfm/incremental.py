@@ -191,10 +191,15 @@ def _rescale_gauge(rs, ts, table: TrackTable):
 
     Rotations and the projective image of every point are invariant under a
     similarity about c0; only ts and landmarks change.  Guarded to a no-op
-    when frames 0/1 coincide (pre-bootstrap)."""
+    when frames 0/1 coincide (pre-bootstrap), and the factor is clamped to
+    [0.1, 10] per call: a PnP-derived frame-1 pose can legitimately sit very
+    close to frame 0 (near-static start), and an unclamped 1/baseline would
+    inflate the map past the max-depth retriangulation gate.  Repeated calls
+    still converge the baseline to 1 when it is genuinely off."""
     centers = -jnp.einsum("fji,fj->fi", rs, ts)
     baseline = jnp.linalg.norm(centers[1] - centers[0])
     s = jnp.where(baseline > 1e-9, 1.0 / jnp.maximum(baseline, 1e-9), 1.0)
+    s = jnp.clip(s, 0.1, 10.0)
     c0 = centers[0]
     new_centers = c0[None, :] + s * (centers - c0[None, :])
     new_ts = -jnp.einsum("fij,fj->fi", rs, new_centers)
@@ -419,6 +424,17 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                 frame_info.append(info)
                 prev2, kp_track_prev2 = prev, kp_track_prev
                 prev = cur
+                # Deferred frames still honor the checkpoint cadence so a
+                # crash during the poseless phase resumes mid-deferral
+                # instead of from scratch.
+                if checkpoint_path and (t % checkpoint_every == 0
+                                        or t == num_frames - 1):
+                    from photogrammetry_tpu.store.checkpoint import (
+                        save_checkpoint,
+                    )
+
+                    save_checkpoint(checkpoint_path, rs, ts, table, t,
+                                    metadata={"frame": t, "cost": None})
                 continue
         else:
             # Pose init: small-motion prior (previous pose) by default;

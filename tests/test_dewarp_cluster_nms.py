@@ -123,6 +123,22 @@ def test_exact_cluster_weighted_centroid():
     assert out.tolist() == [[0, 4]]
 
 
+def test_exact_cluster_linkage_matrix():
+    """Scipy-style linkage rows [id1, id2, dist, count] in merge order with
+    new clusters numbered n0.. (the reference's z, hierarchical.py:56-58)."""
+    coords = np.array([[0, 0], [0, 4], [0, 8], [50, 50]], np.int32)
+    cents, z = hierarchical_cluster_exact(coords, max_merge_dist=6,
+                                          return_linkage=True)
+    # merge 0: clusters 0,1 at distance 4 -> cluster 4 (count 2, center (0,2))
+    # merge 1: clusters 4,2 at distance 6 -> cluster 5 (count 3)
+    assert z.shape == (2, 4)
+    assert sorted(z[0, :2].tolist()) == [0, 1]
+    assert z[0, 2] == pytest.approx(4.0) and z[0, 3] == 2
+    assert sorted(z[1, :2].tolist()) == [2, 4]
+    assert z[1, 2] == pytest.approx(6.0) and z[1, 3] == 3
+    assert len(cents) == 2  # merged line + the far point
+
+
 def test_grid_cluster_matches_exact_within_chunk():
     rng = np.random.default_rng(10)
     # Points confined to one chunk of a 64x64/4x4 grid.
