@@ -8,6 +8,12 @@ detection on 1920x1080 at 0.67 s/frame with a fork pool on an M1 Mac
 (keypoint_detection.py:157, BASELINE.md) => 1.49 frames/s.  Our measured
 stage does strictly more work per frame: FAST + score extraction + NMS +
 subpixel refinement + 256-bit BRIEF for up to 2048 keypoints.
+
+Input: the committed real 1080p frame
+(reference data/feature_detection_test/straight_edge_1920x1080.jpg), not
+synthetic noise — noise saturates NMS with dense detections and measures a
+workload the reference never ran (VERDICT r2; measured noise-vs-real gap at
+capacity 2048 is 5.4x, scripts/bench_frontend_variants.py).
 """
 from __future__ import annotations
 
@@ -42,8 +48,13 @@ def main() -> None:
                             reduction="nms", suppression_radius=4.0)
     pairs = make_pairs(config)
 
-    rng = np.random.default_rng(0)
-    frame = jnp.asarray(rng.integers(0, 255, (1080, 1920)), jnp.float32)
+    import cv2
+
+    from photogrammetry_tpu.ops.grayscale import bgr_to_gray_cv2
+
+    img = cv2.imread("/root/reference/data/feature_detection_test/"
+                     "straight_edge_1920x1080.jpg")
+    frame = jnp.asarray(np.asarray(bgr_to_gray_cv2(img)), jnp.float32)
 
     # The split frontend dispatches detect | brief | refine as three
     # programs so each contains exactly one large image gather — XLA's

@@ -68,9 +68,13 @@ def main(argv=None) -> int:
         f2 = detect_and_describe_split(g2, pairs, config)
         m = timer.block(match_pair(f1, f2, config))
     with timer.stage("two_view"):
+        # model="fundamental": this CLI mirrors the reference's exact
+        # F-only driver (Program.cs:207-249); auto H/F arbitration lives
+        # in the SfM bootstrap.
         out = timer.block(two_view_pipeline(
             jax.random.PRNGKey(0), m.xy1, m.xy2, m.mask, k,
-            threshold=args.ransac_threshold, num_samples=args.num_samples))
+            threshold=args.ransac_threshold, num_samples=args.num_samples,
+            model="fundamental"))
 
     inl = np.asarray(out.inliers) & np.asarray(m.mask)
     pts = np.asarray(out.points)[inl]

@@ -21,6 +21,15 @@ def main(argv=None) -> int:
     ap.add_argument("--cx", type=float, default=None)
     ap.add_argument("--cy", type=float, default=None)
     ap.add_argument("--detection-threshold", type=float, default=20.0)
+    ap.add_argument("--distortion-coeffs", type=float, nargs=5, default=None,
+                    metavar=("K1", "K2", "K3", "K4", "K5"),
+                    help="rational radial distortion coefficients; when "
+                         "given every frame is dewarped through the cached "
+                         "inverse map before detection (the reference's "
+                         "live pipeline order: read->dewarp->gray->detect, "
+                         "TestService.cs:137-152)")
+    ap.add_argument("--dewarp-cache", default="data/distortion_maps",
+                    help="distortion-map cache directory")
     ap.add_argument("--cloud", default="cloud.ply")
     ap.add_argument("--trajectory", default="trajectory.json")
     ap.add_argument("--stats", default=None)
@@ -65,6 +74,20 @@ def main(argv=None) -> int:
             ap.error(f"need >= 2 frames in {args.frames}")
         frames = np.stack([load_gray(p) for p in paths])
         h, w = frames.shape[1:3]
+        if args.distortion_coeffs is not None and \
+                any(args.distortion_coeffs):
+            import jax.numpy as jnp
+
+            from photogrammetry_tpu.ops.dewarp import apply_distortion_map
+            from photogrammetry_tpu.store.cache import DistortionMapCache
+
+            with timer.stage("dewarp"):
+                dmap = jnp.asarray(DistortionMapCache(args.dewarp_cache)
+                                   .get_or_generate(h, w,
+                                                    args.distortion_coeffs))
+                frames = np.stack([
+                    np.asarray(apply_distortion_map(jnp.asarray(f), dmap))
+                    for f in frames])
         fx = args.fx if args.fx is not None else 1.2 * w
         if fx <= 0:
             ap.error(f"--fx must be positive, got {fx}")

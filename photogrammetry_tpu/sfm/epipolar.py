@@ -116,19 +116,25 @@ class RansacResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("num_samples", "sample_size", "residual",
-                                   "signed_residual", "refit"))
+                                   "signed_residual", "refit",
+                                   "lo_iterations"))
 def ransac_fundamental(key: jax.Array, xy1: jnp.ndarray, xy2: jnp.ndarray,
                        mask: jnp.ndarray, threshold: float,
                        num_samples: int = 2000, sample_size: int = 8,
                        residual: str = "sampson",
                        signed_residual: bool = False,
-                       refit: bool = True) -> RansacResult:
+                       refit: bool = True,
+                       lo_iterations: int = 3) -> RansacResult:
     """RANSAC over fundamental-matrix hypotheses, fully vmapped.
 
     Reference configuration: 2000 samples x 32 pairs, threshold 1e-3 on the
     algebraic residual (Program.cs:229).  All ``num_samples`` hypotheses are
     estimated and scored in parallel; with refit=True the winner is
-    re-estimated on its inlier set (the reference returns the raw winner).
+    locally optimized (LO-RANSAC): up to ``lo_iterations`` rounds of
+    refit-on-inliers -> rescore, keeping each round only if the consensus
+    does not shrink.  (The reference returns the raw winner.)  LO shrinks
+    the seed-to-seed variance of the winning basin — the dominant ATE
+    noise source on small scenes.
     """
     n = xy1.shape[0]
     count = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
@@ -163,13 +169,20 @@ def ransac_fundamental(key: jax.Array, xy1: jnp.ndarray, xy2: jnp.ndarray,
     inliers = ok & mask
 
     if refit:
-        f2 = eight_point_fundamental(xy1, xy2, weights=inliers.astype(jnp.float32))
-        r2 = epipolar_residuals(f2, xy1, xy2, kind=residual)
-        ok2 = (r2 <= threshold) if signed_residual else (jnp.abs(r2) <= threshold)
-        inliers2 = ok2 & mask
-        better = jnp.sum(inliers2) >= jnp.sum(inliers)
-        f = jnp.where(better, f2, f)
-        inliers = jnp.where(better, inliers2, inliers)
+        def lo_round(_, carry):
+            f, inliers = carry
+            f2 = eight_point_fundamental(
+                xy1, xy2, weights=inliers.astype(jnp.float32))
+            r2 = epipolar_residuals(f2, xy1, xy2, kind=residual)
+            ok2 = (r2 <= threshold) if signed_residual \
+                else (jnp.abs(r2) <= threshold)
+            inliers2 = ok2 & mask
+            better = jnp.sum(inliers2) >= jnp.sum(inliers)
+            return (jnp.where(better, f2, f),
+                    jnp.where(better, inliers2, inliers))
+
+        f, inliers = jax.lax.fori_loop(0, max(1, lo_iterations), lo_round,
+                                       (f, inliers))
 
     return RansacResult(f=f, inliers=inliers,
                         num_inliers=jnp.sum(inliers).astype(jnp.int32),

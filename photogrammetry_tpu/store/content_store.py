@@ -23,6 +23,9 @@ from typing import Any, Callable, Dict
 
 class Variant(enum.Enum):
     """Typed stage variants (superset of MetadataVariant.cs:3-11)."""
+    SOURCE = "source"            # file path, pre-read
+    OVERLAY = "overlay"          # diagnostic image with drawn keypoints
+    ARTIFACT = "artifact"        # written output path
     RGB = "rgb"
     GRAYSCALE = "grayscale"
     DEWARPED_RGB = "dewarped_rgb"

@@ -27,7 +27,13 @@ class Stage:
     name: str
     input: Variant
     output: Variant
-    fn: Callable[[Any], Any]
+    fn: Callable[..., Any]
+    # Additional earlier variants fetched from the record and passed as
+    # extra positional args to fn — the reference's drawer stage fetches
+    # both the dewarped image and the denoised keypoints from the store
+    # (ResultBuilders.cs:11-30); this is that pattern without widening the
+    # linear chain contract.
+    extra_inputs: tuple = ()
 
 
 class Pipeline:
@@ -55,8 +61,10 @@ class Pipeline:
     def run_record(self, record_id: str) -> str:
         for stage in self.stages:
             blob = self.store.fetch(record_id, stage.input)
+            extras = [self.store.fetch(record_id, v)
+                      for v in stage.extra_inputs]
             with self.timer.stage(stage.name):
-                out = stage.fn(blob)
+                out = stage.fn(blob, *extras)
             self.store.store(record_id, stage.output, out)
         return record_id
 

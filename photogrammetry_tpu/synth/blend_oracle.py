@@ -1,0 +1,384 @@
+"""Ground truth extracted from the reference's actual Blender asset.
+
+The north-star ATE metric is defined on
+``blender/15pt_star_camera_pan/project.blend`` (BASELINE.json; SURVEY.md §4
+makes frame/pose extraction part of our test infrastructure — the reference
+ships the .blend but no rendered frames or exported poses).  This module
+reads the asset directly with photogrammetry_tpu.io.blendfile and produces:
+
+  * the exact camera trajectory: one bezier-eased x-pan, evaluated with
+    Blender's keyframe-interpolation semantics (cubic bezier in (frame,
+    value) space with the handle-overshoot correction);
+  * the exact intrinsics from the camera data-block (50 mm lens, 36x24
+    sensor, AUTO fit) and the scene render resolution (1920x1080);
+  * the exact star geometry (the "Circle" mesh: 30 unique outline vertices,
+    radii 1.0 / 0.45, in the z=0 plane) with the object transform applied;
+  * rendered frames via the same rasterizer style as synth.star_scene, so
+    SfM ATE can be reported against the asset's own trajectory.
+
+Extracted scene parameters (verified against the file, 2026-08-21):
+Blender 3.6 file; camera at z = 6.2183094 looking straight down -Z
+(rotation (0,0,0)); location-x keyframes (1, 0) -> (60, 1) with AUTO_ANIM
+bezier handles at (20.667, 0) / (40.333, 1); location y/z constant.
+Resolution 1920x1080 at 100%, frames 1..60.  The star plane is exactly
+planar and the pan is a pure translation — the degenerate configuration for
+fundamental-matrix bootstrapping, which is why the SfM bootstrap needs its
+homography path on this sequence.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from photogrammetry_tpu.io.blendfile import BlendFile
+
+BLEND_PATH = "/root/reference/blender/15pt_star_camera_pan/project.blend"
+
+# Blender camera axes (x right, y up, looking down -z) -> CV camera axes
+# (x right, y down, looking down +z).
+_BLENDER_TO_CV = np.diag([1.0, -1.0, -1.0])
+
+
+# ------------------------------------------------------------- fcurves
+def _correct_bezpart(p0, p1, p2, p3):
+    """Blender's handle-overshoot correction: if the two inner handles
+    together extend past the segment's frame range, scale both back
+    proportionally (keeps x(t) monotone so time lookup is unique)."""
+    h1 = p1[0] - p0[0]
+    h2 = p3[0] - p2[0]
+    length = p3[0] - p0[0]
+    if h1 + h2 == 0.0 or length <= 0:
+        return p1, p2
+    if h1 + h2 > length:
+        fac = length / (h1 + h2)
+        p1 = (p0[0] + fac * h1, p0[1] + fac * (p1[1] - p0[1]))
+        p2 = (p3[0] - fac * h2, p3[1] - fac * (p3[1] - p2[1]))
+    return p1, p2
+
+
+def _bezier_value(p0, p1, p2, p3, x):
+    """y of the cubic bezier (p0..p3 in (frame, value) space) at frame x,
+    solving the monotone x(t) = x by bisection."""
+    p1, p2 = _correct_bezpart(p0, p1, p2, p3)
+
+    def bez(t, a, b, c, d):
+        u = 1.0 - t
+        return u * u * u * a + 3 * u * u * t * b + 3 * u * t * t * c \
+            + t * t * t * d
+
+    lo, hi = 0.0, 1.0
+    for _ in range(60):  # 2^-60 frame precision
+        mid = 0.5 * (lo + hi)
+        if bez(mid, p0[0], p1[0], p2[0], p3[0]) < x:
+            lo = mid
+        else:
+            hi = mid
+    t = 0.5 * (lo + hi)
+    return bez(t, p0[1], p1[1], p2[1], p3[1])
+
+
+class FCurveData:
+    """One channel: (totvert, 3, 2) bezier triples [(left, key, right)] in
+    (frame, value) space + per-key interpolation mode."""
+
+    def __init__(self, rna_path, array_index, triples, ipos):
+        self.rna_path = rna_path
+        self.array_index = array_index
+        self.triples = np.asarray(triples, np.float64)  # (N, 3, 2)
+        self.ipos = list(ipos)
+
+    def evaluate(self, frame: float) -> float:
+        keys = self.triples[:, 1]  # (N, 2) frame, value
+        if frame <= keys[0, 0]:
+            return float(keys[0, 1])
+        if frame >= keys[-1, 0]:
+            return float(keys[-1, 1])
+        i = int(np.searchsorted(keys[:, 0], frame, side="right") - 1)
+        ipo = self.ipos[i]
+        a, b = keys[i], keys[i + 1]
+        if ipo == 0:  # BEZT_IPO_CONST
+            return float(a[1])
+        if ipo == 1:  # BEZT_IPO_LIN
+            w = (frame - a[0]) / (b[0] - a[0])
+            return float(a[1] * (1 - w) + b[1] * w)
+        # BEZT_IPO_BEZ (2): p0=key_i, p1=right handle_i,
+        # p2=left handle_{i+1}, p3=key_{i+1}
+        return _bezier_value(tuple(self.triples[i, 1]),
+                             tuple(self.triples[i, 2]),
+                             tuple(self.triples[i + 1, 0]),
+                             tuple(self.triples[i + 1, 1]), frame)
+
+
+def _read_fcurves(bf: BlendFile, obj_off, obj_struct):
+    adt_addr = bf.read_field(obj_off, obj_struct, "adt")
+    if not adt_addr:
+        return []
+    adt = bf.deref(adt_addr)
+    act_addr = bf.read_field(adt.offset, bf.structs["AnimData"], "action")
+    if not act_addr:
+        return []
+    act = bf.deref(act_addr)
+    first = bf.read_field(act.offset, bf.structs["bAction"], "curves.first")
+    out = []
+    bt = bf.structs["BezTriple"]
+    for off, fs in bf.listbase(first, "FCurve"):
+        rna = bf.read_string(bf.read_field(off, fs, "rna_path"))
+        ai = bf.read_field(off, fs, "array_index")
+        tot = bf.read_field(off, fs, "totvert")
+        bezt = bf.deref(bf.read_field(off, fs, "bezt"))
+        triples, ipos = [], []
+        for i in range(tot):
+            vec = bf.read_field(bezt.offset, bt, "vec", index=i)  # (3,3)
+            triples.append(vec[:, :2])  # (left, key, right) x (frame, val)
+            ipos.append(bf.read_field(bezt.offset, bt, "ipo", index=i))
+        out.append(FCurveData(rna, ai, triples, ipos))
+    return out
+
+
+# ------------------------------------------------------------- extraction
+def _euler_xyz_matrix(rx, ry, rz):
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    mx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    my = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    mz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return mz @ my @ mx  # Blender euler XYZ: R = Rz Ry Rx
+
+
+def _object_by_name(bf: BlendFile, name: str):
+    for ob in bf.find_blocks(b"OB\x00\x00"):
+        s = bf.struct_of_block(ob)
+        if bf.read_field(ob.offset, s, "id.name") == name:
+            return ob, s
+    raise KeyError(name)
+
+
+def extract_blend_scene(path: str = BLEND_PATH,
+                        frame_stride: int = 1) -> dict:
+    """Parse the camera-pan ground truth out of the reference .blend.
+
+    Returns dict with: centers (F,3), rs (F,3,3) world->cam (CV convention,
+    +z forward), ts (F,3), k (3,3) at full render resolution, image_size
+    (H, W), star_points (30,3) ordered outline vertices (world), frames
+    evaluated at 1, 1+stride, ... within the scene frame range.
+    """
+    bf = BlendFile(path)
+
+    sc = bf.find_blocks(b"SC\x00\x00")[0]
+    ss = bf.struct_of_block(sc)
+    sfra = bf.read_field(sc.offset, ss, "r.sfra")
+    efra = bf.read_field(sc.offset, ss, "r.efra")
+    xsch = bf.read_field(sc.offset, ss, "r.xsch")
+    ysch = bf.read_field(sc.offset, ss, "r.ysch")
+    pct = bf.read_field(sc.offset, ss, "r.size") / 100.0
+    w, h = int(xsch * pct), int(ysch * pct)
+
+    cam_ob, cam_s = _object_by_name(bf, "OBCamera")
+    loc = np.array(bf.read_field(cam_ob.offset, cam_s, "loc"), np.float64)
+    rot = np.array(bf.read_field(cam_ob.offset, cam_s, "rot"), np.float64)
+    fcurves = _read_fcurves(bf, cam_ob.offset, cam_s)
+
+    ca = bf.find_blocks(b"CA\x00\x00")[0]
+    cs = bf.struct_of_block(ca)
+    lens = bf.read_field(ca.offset, cs, "lens")
+    sensor_x = bf.read_field(ca.offset, cs, "sensor_x")
+    sensor_y = bf.read_field(ca.offset, cs, "sensor_y")
+    fit = bf.read_field(ca.offset, cs, "sensor_fit")
+    # AUTO(0): fit the larger render dimension; HOR(1)/VERT(2) explicit.
+    sensor = sensor_x if (fit == 1 or (fit == 0 and w >= h)) else sensor_y
+    f_px = lens / sensor * (w if (fit == 1 or (fit == 0 and w >= h)) else h)
+    k = np.array([[f_px, 0.0, w / 2.0],
+                  [0.0, f_px, h / 2.0],
+                  [0.0, 0.0, 1.0]], np.float64)
+
+    frames = list(range(int(sfra), int(efra) + 1, frame_stride))
+    centers, rs, ts = [], [], []
+    for f in frames:
+        l = loc.copy()
+        r = rot.copy()
+        for fc in fcurves:
+            if fc.rna_path == "location":
+                l[fc.array_index] = fc.evaluate(f)
+            elif fc.rna_path == "rotation_euler":
+                r[fc.array_index] = fc.evaluate(f)
+        r_obj = _euler_xyz_matrix(*r)          # object (cam->world) rotation
+        r_wc = _BLENDER_TO_CV @ r_obj.T        # world->cam, CV axes
+        centers.append(l)
+        rs.append(r_wc)
+        ts.append(-r_wc @ l)
+
+    star = _star_outline(bf)
+    return dict(centers=np.stack(centers), rs=np.stack(rs),
+                ts=np.stack(ts), k=k, image_size=(h, w),
+                star_points=star, frame_numbers=np.array(frames),
+                lens_mm=float(lens), sensor_mm=(float(sensor_x),
+                                                float(sensor_y)),
+                blender_version=bf.version)
+
+
+def _star_outline(bf: BlendFile) -> np.ndarray:
+    """(30, 3) unique star outline vertices in angular order, with the
+    mesh object's transform applied (identity in the asset)."""
+    me = bf.find_blocks(b"ME\x00\x00")[0]
+    ms = bf.struct_of_block(me)
+    totvert = bf.read_field(me.offset, ms, "totvert")
+    layers_addr = bf.read_field(me.offset, ms, "vdata.layers")
+    lb = bf.deref(layers_addr)
+    ls = bf.structs["CustomDataLayer"]
+    nlayers = bf.read_field(me.offset, ms, "vdata.totlayer")
+    co = None
+    for i in range(nlayers):
+        if bf.read_field(lb.offset, ls, "type", index=i) == 0:  # CD_MVERT
+            blk = bf.deref(bf.read_field(lb.offset, ls, "data", index=i))
+            mv = bf.structs["MVert"]
+            co = np.stack([bf.read_field(blk.offset, mv, "co", index=j)
+                           for j in range(totvert)])
+            break
+    if co is None:  # pragma: no cover - 3.5+ files: named position layer
+        raise ValueError("no vertex position layer found")
+    co = np.unique(np.round(co, 6), axis=0)
+    order = np.argsort(np.arctan2(co[:, 1], co[:, 0]))
+    co = co[order]
+
+    ob, s = _object_by_name(bf, "OBCircle")
+    loc = np.array(bf.read_field(ob.offset, s, "loc"), np.float64)
+    size = np.array(bf.read_field(ob.offset, s, "size"), np.float64)
+    rot = np.array(bf.read_field(ob.offset, s, "rot"), np.float64)
+    return (co * size) @ _euler_xyz_matrix(*rot).T + loc
+
+
+# ------------------------------------------------------------- rendering
+def render_blend_sequence(scene: dict, scale: float = 0.25,
+                          supersample: int = 2,
+                          texture: bool = True) -> dict:
+    """Rasterize the extracted scene: white filled star on black, optional
+    deterministic dot/backdrop texture (same style as synth.star_scene —
+    the star alone is too self-similar for discriminative BRIEF matching;
+    the geometry and trajectory stay blend-exact either way).
+
+    Returns the scene dict extended with frames (F, H, W) uint8 and the
+    scaled k / image_size.
+    """
+    from photogrammetry_tpu.synth.star_scene import _value_noise
+
+    h0, w0 = scene["image_size"]
+    h, w = int(round(h0 * scale)), int(round(w0 * scale))
+    k = scene["k"].copy()
+    k[0] *= w / w0
+    k[1] *= h / h0
+
+    star = scene["star_points"]
+    depth = float(np.mean(scene["centers"][:, 2]) - np.mean(star[:, 2]))
+
+    dots, intens = _texture_dots(star, depth) if texture else (None, None)
+
+    frames = []
+    for r, t in zip(scene["rs"], scene["ts"]):
+        frames.append(_rasterize(star, dots, intens, r, t, k, (h, w),
+                                 supersample, texture))
+    out = dict(scene)
+    out.update(frames=np.stack(frames), k=k.astype(np.float32),
+               image_size=(h, w),
+               world_points=np.concatenate([star, dots])
+               if texture else star)
+    return out
+
+
+def _texture_dots(star: np.ndarray, depth: float):
+    """Deterministic dot field around/behind the star plane (seeded; the
+    same role as star_scene.dot_points_3d, placed relative to the star)."""
+    rng = np.random.default_rng(11)
+    z0 = float(np.mean(star[:, 2]))
+    # Depth spread chosen by sweep (scripts/sweep_blend_sfm.py): the star
+    # plane alone is the F-degenerate planar case and the 40-deg FOV pan is
+    # bas-relief-weak; z0 +/- [-2.5, 1.5] halves ATE vs a +/-1 spread.
+    pts = rng.uniform([-2.4, -1.5, z0 - 2.5], [2.4, 1.5, z0 + 1.5],
+                      (220, 3))
+    rad = np.hypot(pts[:, 0], pts[:, 1])
+    pts = pts[rad > 1.15]
+    intens = rng.integers(130, 255, len(pts))
+    return pts, intens
+
+
+def _rasterize(star, dots, intens, r, t, k, image_size, supersample,
+               texture):
+    from photogrammetry_tpu.synth.star_scene import project_scene
+
+    s = max(1, int(supersample))
+    h, w = image_size
+    k_hi = k.astype(np.float64).copy()
+    k_hi[0] *= s
+    k_hi[1] *= s
+    k_hi[0, 2] += (s - 1) / 2.0
+    k_hi[1, 2] += (s - 1) / 2.0
+    hh, ww = h * s, w * s
+
+    if texture:
+        img = _blend_backdrop(r, t, k_hi, (hh, ww),
+                              zb=float(np.mean(star[:, 2])) + 2.5)
+    else:
+        img = np.zeros((hh, ww), np.uint8)
+
+    poly = project_scene(star, r, t, k_hi)
+    mask = _fill_polygon(poly, hh, ww)
+    img[mask] = 255
+
+    if texture and dots is not None and len(dots):
+        dxy = project_scene(dots, r, t, k_hi)
+        rad = 2 * s
+        yy, xx = np.mgrid[-rad:rad + 1, -rad:rad + 1]
+        disc = (yy ** 2 + xx ** 2) <= rad ** 2
+        for (x, y), val in zip(dxy, intens):
+            xi, yi = int(round(x)), int(round(y))
+            if rad <= xi < ww - rad and rad <= yi < hh - rad:
+                sm = mask[yi - rad:yi + rad + 1, xi - rad:xi + rad + 1]
+                patch = img[yi - rad:yi + rad + 1, xi - rad:xi + rad + 1]
+                patch[disc & ~sm] = val
+
+    if s > 1:
+        img = np.round(img.astype(np.float32)
+                       .reshape(h, s, w, s).mean(axis=(1, 3)))
+    return img.astype(np.uint8)
+
+
+def _blend_backdrop(r, t, k, image_size, zb):
+    from photogrammetry_tpu.synth.star_scene import _value_noise
+
+    h, w = image_size
+    center = -r.T @ t
+    uu, vv = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    kinv = np.linalg.inv(k)
+    rays_cam = np.stack([uu, vv, np.ones_like(uu)], -1) @ kinv.T
+    rays_w = rays_cam @ r
+    sden = rays_w[..., 2]
+    sden = np.where(np.abs(sden) < 1e-12, 1e-12, sden)
+    sc = (zb - center[2]) / sden
+    wx = center[0] + sc * rays_w[..., 0]
+    wy = center[1] + sc * rays_w[..., 1]
+    n = (_value_noise(wx * 2.5, wy * 2.5) * 0.6
+         + _value_noise(wx * 6.75, wy * 6.75, seed=1.0) * 0.4)
+    return (n * 60.0).astype(np.uint8)
+
+
+def _fill_polygon(poly: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Even-odd scanline fill (same algorithm as star_scene's rasterizer)."""
+    mask = np.zeros((h, w), bool)
+    ys, xs = poly[:, 1], poly[:, 0]
+    n = len(poly)
+    y0 = max(int(np.floor(ys.min())), 0)
+    y1 = min(int(np.ceil(ys.max())), h - 1)
+    for y in range(y0, y1 + 1):
+        nodes = []
+        j = n - 1
+        for i in range(n):
+            if (ys[i] < y) != (ys[j] < y):
+                nodes.append(xs[i] + (y - ys[i]) / (ys[j] - ys[i])
+                             * (xs[j] - xs[i]))
+            j = i
+        nodes.sort()
+        for a, b in zip(nodes[0::2], nodes[1::2]):
+            lo = max(int(np.ceil(a)), 0)
+            hi = min(int(np.floor(b)), w - 1)
+            if hi >= lo:
+                mask[y, lo:hi + 1] = True
+    return mask
