@@ -43,6 +43,10 @@ def main(argv=None) -> int:
                          "optimize the pose graph after SfM")
     ap.add_argument("--loop-min-gap", type=int, default=3)
     ap.add_argument("--loop-min-matches", type=int, default=30)
+    ap.add_argument("--restarts", type=int, default=1,
+                    help=">1 runs best-of-K restarts with ground-truth-free "
+                         "quality selection (support + median reprojection "
+                         "error) — cuts RANSAC basin-luck ATE tails")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -99,9 +103,18 @@ def main(argv=None) -> int:
         detection_threshold=args.detection_threshold, max_keypoints=512,
         reduction="nms", suppression_radius=4.0, hamming_threshold=80))
     with timer.stage("sfm"):
-        res = run_incremental_sfm(frames, k, cfg,
-                                  checkpoint_path=args.checkpoint,
-                                  resume=not args.no_resume)
+        if args.restarts > 1:
+            from photogrammetry_tpu.sfm.incremental import (
+                run_incremental_sfm_robust,
+            )
+
+            # checkpointing is per-run state; restarts select afresh
+            res = run_incremental_sfm_robust(frames, k, cfg,
+                                             restarts=args.restarts)
+        else:
+            res = run_incremental_sfm(frames, k, cfg,
+                                      checkpoint_path=args.checkpoint,
+                                      resume=not args.no_resume)
 
     rs_out, ts_out = res.rs, res.ts
     centers_out = res.camera_centers

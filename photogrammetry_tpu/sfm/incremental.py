@@ -231,8 +231,12 @@ def _bootstrap_map(key, table: TrackTable, rs, ts, kmat, config: "SfmConfig",
     candidate triangulates the (0, t) correspondences, PnP-initializes
     frames 1..t-1 from the fresh landmarks (track chains pass through every
     intermediate frame, so support is dense), and bundle-adjusts frames
-    1..t.  The candidate with the largest post-BA support (observations
-    reprojecting within 2 px at positive depth on >= 2 frames) wins.
+    1..t.  Arbitration: among candidates whose post-BA support
+    (observations reprojecting within 2 px at positive depth on >= 2
+    frames) is within 10% of the best, the lowest mean supported
+    reprojection error wins — raw-support argmax alone picks wrong basins
+    whose loose geometry happens to clear the 2 px gate on a few extra
+    points (the seed-sweep p90 tail, scripts/sweep_sfm_seeds.py).
     Returns (rs, ts, table-with-landmarks, support).
     """
     from photogrammetry_tpu.sfm.pnp import ransac_pnp
@@ -242,7 +246,7 @@ def _bootstrap_map(key, table: TrackTable, rs, ts, kmat, config: "SfmConfig",
     pair_mask = pair_mask.at[t].set(table.obs_mask[t])
     both = table.obs_mask[0] & table.obs_mask[t]
 
-    best = None
+    candidates = []
     for _ in range(max(1, config.bootstrap_attempts)):
         key, sub = jax.random.split(key)
         tv = two_view_pipeline(sub, table.obs[t], table.obs[0], both, kmat,
@@ -280,10 +284,14 @@ def _bootstrap_map(key, table: TrackTable, rs, ts, kmat, config: "SfmConfig",
         err = jnp.linalg.norm(pred - cand.obs, axis=-1)
         okobs = prob.mask & (err < 2.0) & (z > config.min_depth)
         support = int(jnp.sum(jnp.sum(okobs, axis=0) >= 2))
-        if best is None or support > best[0]:
-            best = (support, res.state.rs, res.state.ts,
-                    cand._replace(points=res.state.points))
-    support, rs, ts, table = best
+        mean_err = float(jnp.sum(jnp.where(okobs, err, 0.0))
+                         / jnp.maximum(jnp.sum(okobs), 1))
+        candidates.append((support, mean_err, res.state.rs, res.state.ts,
+                           cand._replace(points=res.state.points)))
+    smax = max(c[0] for c in candidates)
+    support, _, rs, ts, table = min(
+        (c for c in candidates if c[0] >= 0.9 * smax),
+        key=lambda c: c[1])
     return rs, ts, table, support
 
 
@@ -591,3 +599,57 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
             costs.append(float(res.cost))
 
     return SfmResult(rs, ts, table, costs, frame_info)
+
+
+def reconstruction_quality(res: SfmResult, k: np.ndarray,
+                           err_px: float = 2.0, min_depth: float = 0.1):
+    """(support, median reprojection error px) of a finished reconstruction.
+
+    support = tracks observed within ``err_px`` at positive depth on >= 2
+    frames; median error is over all valid observations.  Across-seed
+    measurement (scripts/sweep_sfm_seeds.py, 20 seeds): median error
+    separates good from bad RANSAC basins cleanly (<= 0.57 px vs >= 0.59
+    px on the 8-frame pan) and support flags catastrophic ones — the basis
+    of best-of-restarts selection.
+    """
+    t = res.table
+    kmat = jnp.asarray(k, jnp.float32)
+    pred, z, _ = project(jnp.asarray(res.rs, jnp.float32),
+                         jnp.asarray(res.ts, jnp.float32), t.points, kmat)
+    err = jnp.linalg.norm(pred - t.obs, axis=-1)
+    m = t.obs_mask & t.has_point[None, :]
+    ok = m & (err < err_px) & (z > min_depth)
+    support = int(jnp.sum(jnp.sum(ok, axis=0) >= 2))
+    med = float(jnp.nanmedian(jnp.where(m, err, jnp.nan)))
+    return support, med
+
+
+def run_incremental_sfm_robust(frames: np.ndarray, k: np.ndarray,
+                               config: SfmConfig | None = None,
+                               seed: int = 0, restarts: int = 3,
+                               **kwargs) -> SfmResult:
+    """Best-of-``restarts`` incremental SfM.
+
+    The only stochastic inputs are the RANSAC draws, so independent
+    restarts land in independent basins; the winner is chosen WITHOUT
+    ground truth, by reconstruction_quality: support is primary (a
+    collapsed map can score a low median error over its small consistent
+    core, so error must never outvote a clearly larger consensus —
+    observed on a 6-frame scene where a support-72 collapse beat a
+    support-90 good run under a loose 0.7 floor), and median reprojection
+    error breaks near-ties (within 5% of the best support).  Cuts the
+    across-seed p90 ATE tail at the cost of ``restarts`` sequential runs —
+    each reuses the jitted programs, so the wall-clock multiplier is well
+    below the restart count.
+    """
+    candidates = []
+    for i in range(max(1, restarts)):
+        res = run_incremental_sfm(frames, k, config,
+                                  seed=seed + 7919 * i, **kwargs)
+        support, med = reconstruction_quality(res, k)
+        res.quality = (support, med)
+        candidates.append((support, med, res))
+    smax = max(c[0] for c in candidates)
+    best = min((c for c in candidates if c[0] >= 0.95 * smax),
+               key=lambda c: c[1])
+    return best[2]

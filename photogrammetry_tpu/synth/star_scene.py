@@ -107,6 +107,45 @@ def pan_trajectory(cfg: StarSceneConfig):
     return np.stack(rs), np.stack(ts), np.stack(centers)
 
 
+def orbit_trajectory(cfg: StarSceneConfig, total_angle: float = 1.2):
+    """Ground-truth poses orbiting the star center at constant range.
+
+    The linear pan's per-frame baseline shrinks as 1/num_frames (64 frames
+    over the 2.4-unit pan is ~0.6% baseline-to-depth — too weak for
+    per-window SfM), so long-sequence scenarios (submap chaining) use an
+    orbit instead: the camera circles the star pivot at range ``depth``,
+    sweeping ``total_angle`` radians, which keeps per-frame parallax
+    constant for any frame count.  Returns (rs, ts, centers).
+    """
+    pivot = np.array([0.0, 0.0, cfg.depth])
+    rs, ts, centers = [], [], []
+    for i in range(cfg.num_frames):
+        th = (i / max(cfg.num_frames - 1, 1) - 0.5) * total_angle
+        cy_, sy_ = np.cos(th), np.sin(th)
+        r = np.array([[cy_, 0.0, sy_],
+                      [0.0, 1.0, 0.0],
+                      [-sy_, 0.0, cy_]], np.float64)
+        center = pivot - r.T @ np.array([0.0, 0.0, cfg.depth])
+        rs.append(r)
+        ts.append(-r @ center)
+        centers.append(center)
+    return np.stack(rs), np.stack(ts), np.stack(centers)
+
+
+def generate_orbit_sequence(cfg: StarSceneConfig | None = None,
+                            total_angle: float = 1.2):
+    """Like generate_sequence but on the orbit trajectory."""
+    cfg = cfg or StarSceneConfig()
+    dots, _ = dot_points_3d(cfg)
+    pts = np.concatenate([star_points_3d(cfg), dots])
+    rs, ts, centers = orbit_trajectory(cfg, total_angle)
+    k = intrinsics(cfg)
+    frames = np.stack([render_frame(cfg, rs[i], ts[i], k)
+                       for i in range(cfg.num_frames)])
+    return dict(frames=frames, k=k, rs=rs, ts=ts, centers=centers,
+                points=pts, config=cfg)
+
+
 def intrinsics(cfg: StarSceneConfig) -> np.ndarray:
     h, w = cfg.image_size
     return np.array([[cfg.focal, 0.0, w / 2.0],

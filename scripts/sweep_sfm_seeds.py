@@ -15,6 +15,11 @@ def main(argv=None) -> int:
     ap.add_argument("--frames", type=int, nargs="+", default=[8, 12])
     ap.add_argument("--seeds", type=int, default=6)
     ap.add_argument("--supersample", type=int, default=2)
+    ap.add_argument("--restarts", type=int, default=1,
+                    help=">1 uses run_incremental_sfm_robust best-of-K "
+                         "selection per seed")
+    ap.add_argument("--out", default=None,
+                    help="append a JSON record per frame count to this file")
     args = ap.parse_args(argv)
 
     import jax
@@ -23,7 +28,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from photogrammetry_tpu.sfm.incremental import (
-        SfmConfig, run_incremental_sfm,
+        SfmConfig, run_incremental_sfm, run_incremental_sfm_robust,
     )
     from photogrammetry_tpu.sfm.metrics import absolute_trajectory_error
     from photogrammetry_tpu.synth.star_scene import (
@@ -37,12 +42,31 @@ def main(argv=None) -> int:
                           scene["ts"]).astype(np.float32)
         ates = []
         for seed in range(args.seeds):
-            res = run_incremental_sfm(scene["frames"], scene["k"],
-                                      SfmConfig(), seed=seed)
+            if args.restarts > 1:
+                res = run_incremental_sfm_robust(
+                    scene["frames"], scene["k"], SfmConfig(), seed=seed,
+                    restarts=args.restarts)
+            else:
+                res = run_incremental_sfm(scene["frames"], scene["k"],
+                                          SfmConfig(), seed=seed)
             ates.append(float(absolute_trajectory_error(
                 res.camera_centers.astype(np.float32), gt_c)))
+        rec = {"frames": nf, "seeds": args.seeds,
+               "restarts": args.restarts,
+               "ates": [round(a, 4) for a in ates],
+               "mean": round(float(np.mean(ates)), 4),
+               "p90": round(float(np.percentile(ates, 90)), 4),
+               "max": round(float(np.max(ates)), 4)}
         print(f"frames={nf}: ates={[round(a, 3) for a in ates]} "
-              f"mean={np.mean(ates):.4f} max={np.max(ates):.4f}")
+              f"mean={rec['mean']:.4f} p90={rec['p90']:.4f} "
+              f"max={rec['max']:.4f}")
+        if args.out:
+            import json
+            import time
+
+            rec["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+            with open(args.out, "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
     return 0
 
 

@@ -45,6 +45,41 @@ def test_padded_edges_are_inert():
     assert float(a.cost) == pytest.approx(float(b.cost), rel=1e-4)
 
 
+@pytest.mark.slow
+def test_cg_solver_matches_dense():
+    """The matrix-free PCG path converges to the dense direct solve on a
+    small graph (same LM schedule, same final cost/poses)."""
+    rs_gt, ts_gt = circle_trajectory(n=14)
+    g = build_graph(rs_gt, ts_gt, noise=0.05)
+    g8 = pad_graph(g, 8)
+    mesh = make_mesh()
+    dense = distributed_optimize_pose_graph(
+        jnp.asarray(rs_gt), jnp.asarray(ts_gt), g8, mesh,
+        num_iterations=15, solver="dense")
+    cg = distributed_optimize_pose_graph(
+        jnp.asarray(rs_gt), jnp.asarray(ts_gt), g8, mesh,
+        num_iterations=15, solver="cg", cg_iterations=120)
+    assert float(cg.cost) == pytest.approx(float(dense.cost), rel=5e-3)
+    np.testing.assert_allclose(np.asarray(cg.rs), np.asarray(dense.rs),
+                               atol=5e-3)
+
+
+@pytest.mark.slow
+def test_cg_scales_to_256_nodes():
+    """N=256 nodes on the 8-device mesh via the CG path — the dense path
+    would psum a 256^2 x 36 float H per iteration (9.4 MB); CG's
+    per-step collective is the (256, 6) vector.  Cost must drop
+    substantially from the noisy init."""
+    rs_gt, ts_gt = circle_trajectory(n=256)
+    g = build_graph(rs_gt, ts_gt, noise=0.04)
+    g8 = pad_graph(g, 8)
+    mesh = make_mesh()
+    res = distributed_optimize_pose_graph(
+        jnp.asarray(rs_gt), jnp.asarray(ts_gt), g8, mesh,
+        num_iterations=10, solver="cg", cg_iterations=60)
+    assert float(res.cost) < 0.05 * float(res.initial_cost)
+
+
 def test_batched_frontend():
     from photogrammetry_tpu.sfm.frontend import (
         FrontendConfig, detect_and_describe, detect_and_describe_batch,

@@ -148,3 +148,29 @@ def test_incremental_sfm_ate():
     # match failures
     nobs = np.asarray(res.table.obs_mask).sum(axis=0)
     assert int((nobs >= 5).sum()) >= 25
+
+
+@pytest.mark.slow
+def test_seed_robustness_p90():
+    """Across-seed ATE distribution with best-of-3 restart selection
+    (run_incremental_sfm_robust): mean and p90 bounds over 20 base seeds.
+
+    Measured 2026-08-21 (data/bench/seed_sweep.jsonl): single-run mean
+    0.103 / p90 0.148 / max 0.622; best-of-3 via reconstruction_quality
+    selection (support floor + min median reprojection error) gives mean
+    0.055 / p90 0.096 / max 0.105.  Bounds keep ~25% headroom."""
+    from photogrammetry_tpu.sfm.incremental import run_incremental_sfm_robust
+
+    scene = generate_sequence(StarSceneConfig(num_frames=8, supersample=2))
+    gt = scene["centers"].astype(np.float32)
+    ates = []
+    for seed in range(20):
+        res = run_incremental_sfm_robust(scene["frames"], scene["k"],
+                                         SfmConfig(), seed=seed, restarts=3)
+        ates.append(float(absolute_trajectory_error(
+            jnp.asarray(res.camera_centers.astype(np.float32)),
+            jnp.asarray(gt))))
+    mean = float(np.mean(ates))
+    p90 = float(np.percentile(ates, 90))
+    assert mean < 0.075, f"mean ATE {mean} (ates={ates})"
+    assert p90 < 0.12, f"p90 ATE {p90} (ates={ates})"
