@@ -7,13 +7,13 @@ circular-run-length recurrence run as VPU ops with a single live mask, and
 only the int32 score band is written back.  The 16 (H, W) shifted
 intermediates of the XLA formulation (ops/fast.py) never touch HBM.
 
-STATUS (round 1): bit-exact against ops.fast.fast_score_map in interpret
-mode (tests/test_kernels.py) but NOT enabled in the production path — the
-axon-tunnel AOT compiler hangs (>9 min, no error) lowering this kernel on
-the current image (both this DMA formulation and an Element-indexed
-overlapping-block variant; the plain-matmul hamming kernel compiles fine).
-The XLA stencil in ops/fast.py remains the default; revisit with a native
-TPU runtime.
+STATUS (round 3): compiles on the axon AOT in ~1.4 s (the round-1 >9 min
+hang no longer reproduces on the current toolchain), bit-exact against
+ops.fast.fast_score_map on hardware, and measured 3.1x faster standalone
+at 1080p (0.80 vs 2.49 ms) / +15% on the full split frontend (17.8k ->
+20.5k frames/s, docs/tpu_notes.md §5).  Default on TPU backends via
+FrontendConfig.use_pallas_detect=None auto-resolution; interpret-mode
+parity stays covered by tests/test_kernels.py.
 """
 from __future__ import annotations
 

@@ -67,6 +67,12 @@ class FrontendConfig:
     # 4096^2x256 on v5e, docs/tpu_notes.md; off elsewhere: interpret mode
     # on CPU is orders slower).
     use_pallas_matching: bool | None = None
+    # Fused Pallas FAST stencil (kernels/fast_stencil.py): bit-exact, 3.1x
+    # faster than the 16-shift XLA stencil standalone at 1080p (0.80 vs
+    # 2.49 ms) and +15% on the full split frontend (17.8k -> 20.5k fps,
+    # docs/tpu_notes.md §5).  None = auto: on for TPU backends, off
+    # elsewhere (interpret mode).
+    use_pallas_detect: bool | None = None
 
 
 class DescribedFrame(NamedTuple):
@@ -84,7 +90,17 @@ def make_pairs(config: FrontendConfig) -> jnp.ndarray:
 def _detect(gray: jnp.ndarray, config: FrontendConfig) -> PaddedPoints:
     """score map → fixed-capacity keypoints → redundancy reduction."""
     h, w = gray.shape
-    score = fast_score_map(gray, config.detection_threshold)
+    use_pallas = config.use_pallas_detect
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
+        from photogrammetry_tpu.kernels.fast_stencil import (
+            fast_score_map_pallas,
+        )
+
+        score = fast_score_map_pallas(gray, config.detection_threshold)
+    else:
+        score = fast_score_map(gray, config.detection_threshold)
     pts = extract_keypoints(score, capacity=config.max_keypoints,
                             order="score")
     if config.reduction == "nms":
@@ -183,7 +199,12 @@ def detect_and_describe_batch(grays: jnp.ndarray, pairs: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("config",))
 def _detect_batch(grays, config):
-    return jax.vmap(lambda g: _detect(g, config))(grays)
+    # vmap-of-pallas_call is not exercised on the axon AOT path; the batch
+    # path pins the XLA stencil (single-frame dispatch gets the kernel).
+    import dataclasses
+
+    cfg = dataclasses.replace(config, use_pallas_detect=False)
+    return jax.vmap(lambda g: _detect(g, cfg))(grays)
 
 
 @partial(jax.jit, static_argnames=())

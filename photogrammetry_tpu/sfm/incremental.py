@@ -627,6 +627,8 @@ def reconstruction_quality(res: SfmResult, k: np.ndarray,
 def run_incremental_sfm_robust(frames: np.ndarray, k: np.ndarray,
                                config: SfmConfig | None = None,
                                seed: int = 0, restarts: int = 3,
+                               target_med_px: float | None = None,
+                               max_restarts: int = 8,
                                **kwargs) -> SfmResult:
     """Best-of-``restarts`` incremental SfM.
 
@@ -641,14 +643,30 @@ def run_incremental_sfm_robust(frames: np.ndarray, k: np.ndarray,
     across-seed p90 ATE tail at the cost of ``restarts`` sequential runs —
     each reuses the jitted programs, so the wall-clock multiplier is well
     below the restart count.
+
+    target_med_px escalates the restart budget adaptively: if after the
+    base ``restarts`` no candidate reaches the target median error, keep
+    drawing (up to ``max_restarts``).  Bas-relief-shifted basins (wrong
+    trajectory curvature) fit observations almost as well as the true one
+    and evade the support test, but their median error runs visibly higher
+    (measured ~0.58 px vs ~0.39 px on the orbit windows) — escalation
+    buys more draws exactly when the pool looks suspicious.
     """
     candidates = []
-    for i in range(max(1, restarts)):
+    i = 0
+    while True:
         res = run_incremental_sfm(frames, k, config,
                                   seed=seed + 7919 * i, **kwargs)
         support, med = reconstruction_quality(res, k)
         res.quality = (support, med)
         candidates.append((support, med, res))
+        i += 1
+        if i < max(1, restarts):
+            continue
+        if (target_med_px is not None and i < max_restarts
+                and min(c[1] for c in candidates) > target_med_px):
+            continue
+        break
     smax = max(c[0] for c in candidates)
     best = min((c for c in candidates if c[0] >= 0.95 * smax),
                key=lambda c: c[1])
