@@ -98,7 +98,9 @@ def main() -> None:
     )
 
     scene = generate_sequence(StarSceneConfig(num_frames=8, supersample=2))
-    cfg = SfmConfig()
+    # diagnostics off: each per-frame diagnostic scalar readback costs a
+    # tunnel RTT and the loop is RTT-bound (docs/tpu_notes.md §3)
+    cfg = SfmConfig(collect_diagnostics=False)
     run_incremental_sfm(scene["frames"], scene["k"], cfg)      # compile
     t0 = time.perf_counter()
     res = run_incremental_sfm(scene["frames"], scene["k"], cfg)

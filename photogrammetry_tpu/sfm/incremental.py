@@ -16,6 +16,7 @@ them (no data-dependent shapes cross the jit boundary).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -184,6 +185,76 @@ def _retriangulate_all(table: TrackTable, rs, ts, k,
         has_point=accept)
 
 
+@partial(jax.jit, static_argnames=("min_inliers", "rescue_px", "threshold",
+                                   "num_samples"))
+def _pnp_rescue_device(key, points, obs_t, pnp_mask, kmat, r_prior, t_prior,
+                       min_inliers: int, rescue_px: float, threshold: float,
+                       num_samples: int):
+    """Whole PnP-rescue decision as one device program (lax.cond).
+
+    The host used to read a per-frame rescue flag; at ~45 ms tunnel RTT
+    per scalar read that one readback dominated loop throughput
+    (docs/tpu_notes.md §3).  Key evolution exactly matches the old host
+    logic — the key splits only on the rescue branch — so RANSAC streams
+    (and therefore all seeded results) are unchanged.
+
+    Returns (key, r, t, diag) with diag = (rescued, used_pnp, support,
+    prior_med, pnp_inliers, pnp_med) — device scalars the caller only
+    reads when diagnostics are on.
+    """
+    from photogrammetry_tpu.sfm.pnp import (
+        pnp_reprojection_errors, ransac_pnp,
+    )
+
+    def med_of(r, t_):
+        err, z = pnp_reprojection_errors(r, t_, points, obs_t, kmat)
+        e = jnp.where(z > 0, err, jnp.inf)
+        e = jnp.where(pnp_mask, e, jnp.nan)
+        return jnp.nanmedian(e)
+
+    support = jnp.sum(pnp_mask)
+    prior_med = med_of(r_prior, t_prior)
+    rescue = (support >= min_inliers) & (prior_med > rescue_px)
+
+    def do(key):
+        key2, sub = jax.random.split(key)
+        pnp = ransac_pnp(sub, points, obs_t, pnp_mask, kmat,
+                         threshold=threshold, num_samples=num_samples)
+        pnp_med = med_of(pnp.r, pnp.t)
+        ok = (pnp.num_inliers >= min_inliers) & (pnp_med < prior_med)
+        r = jnp.where(ok, pnp.r, r_prior)
+        t_ = jnp.where(ok, pnp.t, t_prior)
+        return key2, r, t_, ok, pnp.num_inliers.astype(jnp.int32), pnp_med
+
+    def skip(key):
+        return (key, r_prior, t_prior, jnp.zeros((), bool),
+                jnp.int32(0), jnp.float32(jnp.nan))
+
+    key, r, t_, used, pnp_inl, pnp_med = jax.lax.cond(rescue, do, skip, key)
+    return key, r, t_, (rescue, used, support, prior_med, pnp_inl, pnp_med)
+
+
+@partial(jax.jit, static_argnames=("min_inliers", "threshold",
+                                   "num_samples"))
+def _pnp_init_device(key, points, obs_i, pnp_mask, kmat, r_prior, t_prior,
+                     min_inliers: int, threshold: float, num_samples: int):
+    """Support-gated RANSAC PnP as one jitted program (lax.cond must live
+    under jit — eager cond re-traces its branches on every call).  The key
+    splits only when PnP runs, matching the host-gated RNG stream."""
+    from photogrammetry_tpu.sfm.pnp import ransac_pnp
+
+    def do(key):
+        key2, sub = jax.random.split(key)
+        pnp = ransac_pnp(sub, points, obs_i, pnp_mask, kmat,
+                         threshold=threshold, num_samples=num_samples)
+        return key2, pnp.r, pnp.t
+
+    def skip(key):
+        return key, r_prior, t_prior
+
+    return jax.lax.cond(jnp.sum(pnp_mask) >= min_inliers, do, skip, key)
+
+
 @jax.jit
 def _rescale_gauge(rs, ts, table: TrackTable):
     """Similarity-rescale the reconstruction about camera 0's center so
@@ -239,7 +310,6 @@ def _bootstrap_map(key, table: TrackTable, rs, ts, kmat, config: "SfmConfig",
     points (the seed-sweep p90 tail, scripts/sweep_sfm_seeds.py).
     Returns (rs, ts, table-with-landmarks, support).
     """
-    from photogrammetry_tpu.sfm.pnp import ransac_pnp
 
     pair_mask = jnp.zeros_like(table.obs_mask)
     pair_mask = pair_mask.at[0].set(table.obs_mask[0])
@@ -261,16 +331,21 @@ def _bootstrap_map(key, table: TrackTable, rs, ts, kmat, config: "SfmConfig",
             table._replace(obs_mask=pair_mask), rs_c, ts_c, kmat,
             config.min_depth, config.max_depth)
         cand = cand._replace(obs_mask=table.obs_mask)
-        # PnP the intermediate frames off the fresh landmarks
+        # PnP the intermediate frames off the fresh landmarks.  The
+        # support gate is a device-side cond (key splits only when PnP
+        # actually runs, matching the host logic's RNG stream exactly) —
+        # a host read here costs a tunnel RTT per intermediate per attempt
+        # and dominated bootstrap latency (docs/tpu_notes.md §3).
         for i in range(1, t):
             pnp_mask = cand.obs_mask[i] & cand.has_point
-            if int(jnp.sum(pnp_mask)) >= config.min_pnp_inliers:
-                key, sub = jax.random.split(key)
-                pnp = ransac_pnp(sub, cand.points, cand.obs[i], pnp_mask,
-                                 kmat, threshold=config.pnp_threshold,
-                                 num_samples=config.pnp_samples)
-                rs_c = rs_c.at[i].set(pnp.r)
-                ts_c = ts_c.at[i].set(pnp.t)
+            key, r_i, t_i = _pnp_init_device(
+                key, cand.points, cand.obs[i], pnp_mask, kmat,
+                rs_c[i], ts_c[i],
+                min_inliers=config.min_pnp_inliers,
+                threshold=config.pnp_threshold,
+                num_samples=config.pnp_samples)
+            rs_c = rs_c.at[i].set(r_i)
+            ts_c = ts_c.at[i].set(t_i)
         state = BAState(rs=rs_c, ts=ts_c, points=cand.points)
         prob = BAProblem(obs=cand.obs,
                          mask=cand.obs_mask & cand.has_point[None, :],
@@ -283,14 +358,19 @@ def _bootstrap_map(key, table: TrackTable, rs, ts, kmat, config: "SfmConfig",
                              kmat)
         err = jnp.linalg.norm(pred - cand.obs, axis=-1)
         okobs = prob.mask & (err < 2.0) & (z > config.min_depth)
-        support = int(jnp.sum(jnp.sum(okobs, axis=0) >= 2))
-        mean_err = float(jnp.sum(jnp.where(okobs, err, 0.0))
-                         / jnp.maximum(jnp.sum(okobs), 1))
-        candidates.append((support, mean_err, res.state.rs, res.state.ts,
+        support_d = jnp.sum(jnp.sum(okobs, axis=0) >= 2)
+        mean_err_d = (jnp.sum(jnp.where(okobs, err, 0.0))
+                      / jnp.maximum(jnp.sum(okobs), 1))
+        candidates.append((support_d, mean_err_d, res.state.rs, res.state.ts,
                            cand._replace(points=res.state.points)))
-    smax = max(c[0] for c in candidates)
+    # ONE batched readback for the arbitration scalars of all attempts
+    quals = jax.device_get(jnp.stack(
+        [jnp.stack([c[0].astype(jnp.float32), c[1]]) for c in candidates]))
+    scored = [(int(q[0]), float(q[1]), c[2], c[3], c[4])
+              for q, c in zip(quals, candidates)]
+    smax = max(c[0] for c in scored)
     support, _, rs, ts, table = min(
-        (c for c in candidates if c[0] >= 0.9 * smax),
+        (c for c in scored if c[0] >= 0.9 * smax),
         key=lambda c: c[1])
     return rs, ts, table, support
 
@@ -412,10 +492,16 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
 
         if not map_ready:
             both = table.obs_mask[0] & table.obs_mask[t]
-            npairs = int(jnp.sum(both))
-            disp = float(jnp.nanmedian(jnp.where(
-                both, jnp.linalg.norm(table.obs[t] - table.obs[0], axis=-1),
-                jnp.nan))) if npairs >= 16 else 0.0
+            # one fused scalar read (each read costs a tunnel RTT):
+            # median displacement, 0 when fewer than 16 shared tracks
+            disp_d = jnp.where(
+                jnp.sum(both) >= 16,
+                jnp.nanmedian(jnp.where(
+                    both,
+                    jnp.linalg.norm(table.obs[t] - table.obs[0], axis=-1),
+                    jnp.nan)),
+                0.0)
+            disp = float(disp_d)
             force = (t == num_frames - 1) or (t >= config.bootstrap_max_defer)
             if disp >= config.bootstrap_min_disp_px or force:
                 key, sub = jax.random.split(key)
@@ -450,46 +536,34 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
             # when the prior has demonstrably failed (median map
             # reprojection error > pnp_rescue_px — large motion, tracking
             # loss, relocalization).  See SfmConfig.pnp_rescue_px.
-            initialized = False
             if config.use_pnp:
-                from photogrammetry_tpu.sfm.pnp import (
-                    pnp_reprojection_errors, ransac_pnp,
-                )
-
+                # The entire rescue decision + RANSAC PnP runs as one
+                # device program (lax.cond): zero host round-trips on the
+                # common path.  Every scalar read costs a full tunnel RTT
+                # (~45 ms measured); the old per-frame rescue readback
+                # alone capped the loop at a few frames/s while all device
+                # stages are ~0.2 ms warm (docs/tpu_notes.md §3).
                 pnp_mask = table.obs_mask[t] & table.has_point
-
-                # Device-side median; only 0-d scalars cross to the host
-                # (an array readback here would flip the whole process onto
-                # the slow synchronous dispatch path — docs/tpu_notes.md §3).
-                def med_err(r, t_):
-                    err, z = pnp_reprojection_errors(
-                        r, t_, table.points, table.obs[t], kmat)
-                    e = jnp.where(z > 0, err, jnp.inf)   # behind-camera: bad
-                    e = jnp.where(pnp_mask, e, jnp.nan)  # non-candidate: out
-                    return float(jnp.nanmedian(e))
-
-                support = int(jnp.sum(pnp_mask))
-                prior_err = (med_err(rs[t - 1], ts[t - 1])
-                             if support else float("inf"))
-                info.update(pnp_support=support, prior_med_px=prior_err)
-                prior_failed = (support >= config.min_pnp_inliers
-                                and prior_err > config.pnp_rescue_px)
-                if prior_failed:
-                    key, sub = jax.random.split(key)
-                    pnp = ransac_pnp(sub, table.points, table.obs[t],
-                                     pnp_mask, kmat,
-                                     threshold=config.pnp_threshold,
-                                     num_samples=config.pnp_samples)
-                    pnp_err = med_err(pnp.r, pnp.t)
-                    info.update(pnp_inliers=int(pnp.num_inliers),
-                                pnp_med_px=pnp_err)
-                    if (int(pnp.num_inliers) >= config.min_pnp_inliers
-                            and pnp_err < prior_err):
-                        rs = rs.at[t].set(pnp.r)
-                        ts = ts.at[t].set(pnp.t)
-                        initialized = True
+                key, r_t, t_t, diag = _pnp_rescue_device(
+                    key, table.points, table.obs[t], pnp_mask, kmat,
+                    rs[t - 1], ts[t - 1],
+                    min_inliers=config.min_pnp_inliers,
+                    rescue_px=config.pnp_rescue_px,
+                    threshold=config.pnp_threshold,
+                    num_samples=config.pnp_samples)
+                rs = rs.at[t].set(r_t)
+                ts = ts.at[t].set(t_t)
+                if config.collect_diagnostics:
+                    rescued, used, support_d, prior_med, pnp_inl, pnp_med \
+                        = diag
+                    info.update(pnp_support=int(support_d),
+                                prior_med_px=float(prior_med))
+                    if bool(rescued):
+                        info.update(pnp_inliers=int(pnp_inl),
+                                    pnp_med_px=float(pnp_med))
+                    if bool(used):
                         info["pose_init"] = "pnp"
-            if not initialized:
+            else:
                 rs = rs.at[t].set(rs[t - 1])
                 ts = ts.at[t].set(ts[t - 1])
             # motion-only BA on all frames so far (only camera t free)
@@ -551,7 +625,9 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
         # about camera 0's center so the 0-1 baseline stays unit length.
         rs, ts, table = _rescale_gauge(rs, ts, table)
         table = _prune_observations(table, rs, ts, kmat, config.prune_px)
-        costs.append(float(res.cost))
+        # 0-d device scalar, NOT read here — per-frame cost readbacks cost
+        # one tunnel RTT each; they convert to floats once after the loop.
+        costs.append(res.cost)
         frame_info.append(info)
         prev2, kp_track_prev2 = prev, kp_track_prev
         prev = cur
@@ -561,7 +637,7 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
             from photogrammetry_tpu.store.checkpoint import save_checkpoint
 
             save_checkpoint(checkpoint_path, rs, ts, table, t,
-                            metadata={"frame": t, "cost": costs[-1]})
+                            metadata={"frame": t, "cost": float(costs[-1])})
 
     if config.final_ba_iterations > 0 and num_frames >= 2:
         fixed = jnp.ones((num_frames,)).at[0].set(0.0)
@@ -596,9 +672,14 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
             rs, ts = res.state.rs, res.state.ts
             table = table._replace(points=res.state.points)
             rs, ts, table = _rescale_gauge(rs, ts, table)
-            costs.append(float(res.cost))
+            costs.append(res.cost)
 
-    return SfmResult(rs, ts, table, costs, frame_info)
+    # ONE batched device->host transfer for everything the result needs —
+    # sequential np.asarray/float() calls each pay the tunnel RTT.
+    rs_h, ts_h, costs_h = jax.device_get(
+        (rs, ts, jnp.stack(costs) if costs else jnp.zeros((0,))))
+    return SfmResult(rs_h, ts_h, table, [float(c) for c in costs_h],
+                     frame_info)
 
 
 def reconstruction_quality(res: SfmResult, k: np.ndarray,
