@@ -47,6 +47,11 @@ def main(argv=None) -> int:
                     help=">1 runs best-of-K restarts with ground-truth-free "
                          "quality selection (support + median reprojection "
                          "error) — cuts RANSAC basin-luck ATE tails")
+    ap.add_argument("--submap-frames", type=int, default=0,
+                    help=">0 chains overlapping submaps of this many frames "
+                         "(sfm/submaps.py): track capacity scales with "
+                         "sequence length instead of one fixed table")
+    ap.add_argument("--submap-overlap", type=int, default=4)
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -103,7 +108,14 @@ def main(argv=None) -> int:
         detection_threshold=args.detection_threshold, max_keypoints=512,
         reduction="nms", suppression_radius=4.0, hamming_threshold=80))
     with timer.stage("sfm"):
-        if args.restarts > 1:
+        if args.submap_frames > 0:
+            from photogrammetry_tpu.sfm.submaps import run_submap_sfm
+
+            res = run_submap_sfm(frames, k, cfg,
+                                 submap_frames=args.submap_frames,
+                                 overlap=args.submap_overlap,
+                                 restarts=max(1, args.restarts))
+        elif args.restarts > 1:
             from photogrammetry_tpu.sfm.incremental import (
                 run_incremental_sfm_robust,
             )
@@ -148,23 +160,33 @@ def main(argv=None) -> int:
             }
             # Keep the exported cloud consistent with the corrected
             # trajectory: re-triangulate landmarks under the pose-graph
-            # poses (the stored points belong to the pre-correction gauge).
-            from photogrammetry_tpu.sfm.triangulate import triangulate_nview
+            # poses (the stored points belong to the pre-correction
+            # gauge).  Submap results carry per-window tables instead of
+            # one global table; their cloud stays pre-correction.
+            if hasattr(res, "table"):
+                from photogrammetry_tpu.sfm.triangulate import (
+                    triangulate_nview,
+                )
 
-            pts_lc, _ = triangulate_nview(
-                res.table.obs, res.table.obs_mask, rs_lc, ts_lc,
-                jnp.asarray(k, jnp.float32))
-            res.table = res.table._replace(
-                points=jnp.where(res.table.has_point[:, None], pts_lc,
-                                 res.table.points))
+                pts_lc, _ = triangulate_nview(
+                    res.table.obs, res.table.obs_mask, rs_lc, ts_lc,
+                    jnp.asarray(k, jnp.float32))
+                res.table = res.table._replace(
+                    points=jnp.where(res.table.has_point[:, None], pts_lc,
+                                     res.table.points))
 
     write_ply(args.cloud, res.points)
     traj = {"centers": centers_out.tolist(),
             "rotations": rs_out.tolist(),
             "translations": ts_out.tolist()}
+    costs = getattr(res, "costs", None)
     report = {"frames": len(frames), "landmarks": len(res.points),
-              "final_cost": res.costs[-1] if res.costs else None,
+              "final_cost": costs[-1] if costs else None,
               "timings": timer.summary()}
+    if hasattr(res, "spans"):
+        report["submaps"] = {"spans": [list(sp) for sp in res.spans],
+                             "total_tracks": res.total_tracks,
+                             "dropped": res.dropped}
     if loop_report is not None:
         report["loop_closure"] = loop_report
     if gt_centers is not None:
