@@ -752,3 +752,287 @@ def run_incremental_sfm_robust(frames: np.ndarray, k: np.ndarray,
     best = min((c for c in candidates if c[0] >= 0.95 * smax),
                key=lambda c: c[1])
     return best[2]
+
+
+def _make_steady_scan(config: SfmConfig, num_frames: int, t0: int):
+    """One jitted lax.scan covering steady-state frames t0..num_frames-1.
+
+    The host loop's per-frame body (match -> gate -> chain -> extend ->
+    PnP-rescue cond -> motion-only BA -> reassociate -> triangulate ->
+    windowed BA -> rescale -> prune) contains no host decisions once the
+    map is bootstrapped, so the whole remainder of the sequence runs as a
+    single device program: ONE dispatch and zero readbacks however long
+    the sequence is (docs/tpu_notes.md §6).  RNG splits replicate the host
+    loop order exactly (gate, skip-gate, conditional PnP), so fused and
+    host modes produce identical trajectories.
+    """
+    fc = config.frontend
+
+    @partial(jax.jit, static_argnames=())
+    def run(feats, kmat, table, rs, ts, key, kp_track_prev2):
+      def step(carry, t):
+        table, rs, ts, key, kp_track_prev2 = carry
+
+        def frame_at(i):
+            from photogrammetry_tpu.sfm.frontend import DescribedFrame
+            from photogrammetry_tpu.utils.padding import PaddedPoints
+
+            pts = PaddedPoints(
+                coords=feats.points.coords[i], score=feats.points.score[i],
+                mask=feats.points.mask[i], count=feats.points.count[i])
+            return DescribedFrame(points=pts, bits=feats.bits[i],
+                                  xy=feats.xy[i])
+
+        cur = frame_at(t)
+        prev = frame_at(t - 1)
+        prev2 = frame_at(t - 2)
+
+        m = match_pair(cur, prev, fc)
+        key, sub = jax.random.split(key)
+        gate = ransac_fundamental(sub, m.xy1, m.xy2, m.mask,
+                                  threshold=config.ransac_threshold,
+                                  num_samples=config.ransac_samples // 2)
+        good = m.mask & gate.inliers
+        kp_track_prev = table.kp_track
+        m2 = match_pair(cur, prev2, fc)
+        key, sub = jax.random.split(key)
+        gate2 = ransac_fundamental(sub, m2.xy1, m2.xy2, m2.mask,
+                                   threshold=config.ransac_threshold,
+                                   num_samples=config.ransac_samples // 2)
+        good2 = m2.mask & gate2.inliers
+        tid = merge_skip_matches(kp_track_prev, kp_track_prev2,
+                                 m.idx2, good, m2.idx2, good2,
+                                 config.track_capacity)
+        table = extend_tracks_with_tid(table, t, cur.xy,
+                                       cur.points.mask, tid)
+
+        if config.use_pnp:
+            pnp_mask = table.obs_mask[t] & table.has_point
+            key, r_t, t_t, _ = _pnp_rescue_device(
+                key, table.points, table.obs[t], pnp_mask, kmat,
+                rs[t - 1], ts[t - 1],
+                min_inliers=config.min_pnp_inliers,
+                rescue_px=config.pnp_rescue_px,
+                threshold=config.pnp_threshold,
+                num_samples=config.pnp_samples)
+            rs = rs.at[t].set(r_t)
+            ts = ts.at[t].set(t_t)
+        else:
+            rs = rs.at[t].set(rs[t - 1])
+            ts = ts.at[t].set(ts[t - 1])
+
+        state = BAState(rs=rs, ts=ts, points=table.points)
+        prob = BAProblem(obs=table.obs,
+                         mask=table.obs_mask & table.has_point[None, :],
+                         k=kmat)
+        fixed = jnp.zeros((num_frames,)).at[t].set(1.0)
+        res = bundle_adjust(state, prob, num_iterations=10,
+                            fixed_cameras=fixed, optimize_points=False)
+        rs, ts = res.state.rs, res.state.ts
+
+        if config.reassociate:
+            table, _ = reassociate_to_landmarks(
+                table, t, cur.xy, cur.points.mask,
+                rs[t], ts[t], kmat, config.reassociate_px)
+
+        if config.nview_triangulation:
+            table = _triangulate_tracks_nview(table, rs, ts, kmat,
+                                              config.min_depth,
+                                              config.max_depth)
+        else:
+            first, last = first_last_observations(table)
+            table = _triangulate_tracks(table, rs, ts, kmat, first, last,
+                                        config.min_depth, config.max_depth)
+
+        state = BAState(rs=rs, ts=ts, points=table.points)
+        prob = BAProblem(obs=table.obs,
+                         mask=table.obs_mask & table.has_point[None, :],
+                         k=kmat)
+        w0 = jnp.maximum(0, t + 1 - config.window)
+        fr = jnp.arange(num_frames)
+        fixed = ((fr >= w0) & (fr <= t)).astype(jnp.float32)
+        fixed = fixed.at[0].set(0.0)  # SE(3) gauge
+        res = bundle_adjust(state, prob,
+                            num_iterations=config.ba_iterations,
+                            fixed_cameras=fixed)
+        rs, ts = res.state.rs, res.state.ts
+        table = table._replace(points=res.state.points)
+        rs, ts, table = _rescale_gauge(rs, ts, table)
+        table = _prune_observations(table, rs, ts, kmat, config.prune_px)
+        return (table, rs, ts, key, kp_track_prev), res.cost
+
+      ts_idx = jnp.arange(t0, num_frames)
+      carry, costs = jax.lax.scan(
+          step, (table, rs, ts, key, kp_track_prev2), ts_idx)
+      return carry, costs
+
+    return run
+
+
+def run_incremental_sfm_fused(frames: np.ndarray, k: np.ndarray,
+                              config: SfmConfig | None = None,
+                              seed: int = 0) -> SfmResult:
+    """Incremental SfM with the steady-state loop fused into one lax.scan.
+
+    Identical math and RNG stream to run_incremental_sfm (bit-identical
+    results on CPU, asserted in tests; on TPU the differently-fused giant
+    program rounds differently, so equivalence is numerical, not bitwise).
+    The deferral/bootstrap prefix runs host-side on batched precomputed
+    features, then every remaining frame executes inside a single device
+    program — per-frame dispatch/readback cost disappears entirely.
+
+    Measured on the axon-tunnel v5e (2026-08-21): the host loop WINS
+    there (4.3 vs 1.3 frames/s warm) — the one big scan program hits the
+    toolchain's serial multi-gather lowering (docs/tpu_notes.md §1), the
+    exact pathology the split-dispatch architecture avoids.  This mode is
+    the right shape for toolchains with healthy gather lowering and for
+    minimizing host involvement; it is opt-in, not the default.
+
+    No checkpointing or per-frame diagnostics in this mode; requires
+    >= 2 steady frames and mesh=None.
+    """
+    from photogrammetry_tpu.sfm.frontend import detect_and_describe_batch_split
+
+    config = config or SfmConfig()
+    assert config.mesh is None, "fused mode is single-device"
+    fc = config.frontend
+    num_frames = len(frames)
+    key = jax.random.PRNGKey(seed)
+    pairs = make_pairs(fc)
+    kmat = jnp.asarray(k, jnp.float32)
+
+    feats = detect_and_describe_batch_split(
+        jnp.asarray(frames, jnp.float32), pairs, fc)
+
+    def frame_at(i):
+        from photogrammetry_tpu.sfm.frontend import DescribedFrame
+        from photogrammetry_tpu.utils.padding import PaddedPoints
+
+        pts = PaddedPoints(coords=feats.points.coords[i],
+                           score=feats.points.score[i],
+                           mask=feats.points.mask[i],
+                           count=feats.points.count[i])
+        return DescribedFrame(points=pts, bits=feats.bits[i], xy=feats.xy[i])
+
+    table = make_track_table(num_frames, config.track_capacity,
+                             fc.max_keypoints)
+    rs = jnp.tile(jnp.eye(3)[None], (num_frames, 1, 1))
+    ts = jnp.zeros((num_frames, 3))
+    costs = []
+    frame_info = []
+
+    prev = frame_at(0)
+    table = start_tracks(table, jnp.int32(0), prev.xy, prev.points.mask)
+    map_ready = False
+    prev2 = None
+    kp_track_prev2 = None
+    t_boot = None
+
+    # ---- host prefix: deferral + bootstrap (the only host decisions) ----
+    t = 1
+    while t < num_frames and not map_ready:
+        cur = frame_at(t)
+        m = match_pair(cur, prev, fc)
+        key, sub = jax.random.split(key)
+        gate = ransac_fundamental(sub, m.xy1, m.xy2, m.mask,
+                                  threshold=config.ransac_threshold,
+                                  num_samples=config.ransac_samples // 2)
+        good = m.mask & gate.inliers
+        kp_track_prev = table.kp_track
+        if prev2 is not None:
+            m2 = match_pair(cur, prev2, fc)
+            key, sub = jax.random.split(key)
+            gate2 = ransac_fundamental(sub, m2.xy1, m2.xy2, m2.mask,
+                                       threshold=config.ransac_threshold,
+                                       num_samples=config.ransac_samples
+                                       // 2)
+            good2 = m2.mask & gate2.inliers
+            tid = merge_skip_matches(kp_track_prev, kp_track_prev2,
+                                     m.idx2, good, m2.idx2, good2,
+                                     config.track_capacity)
+        else:
+            tid = jnp.where(good, kp_track_prev[jnp.clip(m.idx2, 0)],
+                            -1).astype(jnp.int32)
+        table = extend_tracks_with_tid(table, jnp.int32(t), cur.xy,
+                                       cur.points.mask, tid)
+        both = table.obs_mask[0] & table.obs_mask[t]
+        disp = float(jnp.where(
+            jnp.sum(both) >= 16,
+            jnp.nanmedian(jnp.where(
+                both,
+                jnp.linalg.norm(table.obs[t] - table.obs[0], axis=-1),
+                jnp.nan)),
+            0.0))
+        force = (t == num_frames - 1) or (t >= config.bootstrap_max_defer)
+        if disp >= config.bootstrap_min_disp_px or force:
+            key, sub = jax.random.split(key)
+            rs, ts, table, support = _bootstrap_map(
+                sub, table, rs, ts, kmat, config, t, num_frames)
+            map_ready = True
+            t_boot = t
+            frame_info.append({"frame": t, "pose_init": "bootstrap",
+                               "bootstrap_pair": (0, t),
+                               "bootstrap_support": support})
+            # bootstrap frame tail (same as host loop)
+            table = _triangulate_tracks_nview(table, rs, ts, kmat,
+                                              config.min_depth,
+                                              config.max_depth)
+            state = BAState(rs=rs, ts=ts, points=table.points)
+            prob = BAProblem(obs=table.obs,
+                             mask=table.obs_mask & table.has_point[None, :],
+                             k=kmat)
+            w0 = max(0, t + 1 - config.window)
+            fixed = jnp.zeros((num_frames,))
+            fixed = fixed.at[jnp.arange(w0, t + 1)].set(1.0)
+            fixed = fixed.at[0].set(0.0)
+            res = bundle_adjust(state, prob,
+                                num_iterations=config.ba_iterations,
+                                fixed_cameras=fixed)
+            rs, ts = res.state.rs, res.state.ts
+            table = table._replace(points=res.state.points)
+            rs, ts, table = _rescale_gauge(rs, ts, table)
+            table = _prune_observations(table, rs, ts, kmat,
+                                        config.prune_px)
+            costs.append(res.cost)
+        else:
+            frame_info.append({"frame": t, "pose_init": "deferred"})
+        prev2, kp_track_prev2 = prev, kp_track_prev
+        prev = cur
+        t += 1
+
+    # ---- fused steady state: one scan over the remaining frames --------
+    if map_ready and t_boot + 1 < num_frames:
+        run = _make_steady_scan(config, num_frames, t_boot + 1)
+        (table, rs, ts, key, _), scan_costs = run(
+            feats, kmat, table, rs, ts, key, kp_track_prev2)
+        for i in range(num_frames - (t_boot + 1)):
+            costs.append(scan_costs[i])
+            frame_info.append({"frame": t_boot + 1 + i,
+                               "pose_init": "scan"})
+
+    # ---- final global BA + refinement rounds (same as host loop) -------
+    if config.final_ba_iterations > 0 and num_frames >= 2:
+        fixed = jnp.ones((num_frames,)).at[0].set(0.0)
+        for rnd in range(1 + max(0, config.final_refine_rounds)):
+            if rnd > 0:
+                table = _retriangulate_all(table, rs, ts, kmat,
+                                           config.min_depth,
+                                           config.max_depth)
+                table = _prune_observations(table, rs, ts, kmat,
+                                            config.prune_px)
+            state = BAState(rs=rs, ts=ts, points=table.points)
+            prob = BAProblem(obs=table.obs,
+                             mask=table.obs_mask & table.has_point[None, :],
+                             k=kmat)
+            res = bundle_adjust(state, prob,
+                                num_iterations=config.final_ba_iterations,
+                                fixed_cameras=fixed)
+            rs, ts = res.state.rs, res.state.ts
+            table = table._replace(points=res.state.points)
+            rs, ts, table = _rescale_gauge(rs, ts, table)
+            costs.append(res.cost)
+
+    rs_h, ts_h, costs_h = jax.device_get(
+        (rs, ts, jnp.stack(costs) if costs else jnp.zeros((0,))))
+    return SfmResult(rs_h, ts_h, table, [float(c) for c in costs_h],
+                     frame_info)

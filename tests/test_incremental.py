@@ -174,3 +174,26 @@ def test_seed_robustness_p90():
     p90 = float(np.percentile(ates, 90))
     assert mean < 0.075, f"mean ATE {mean} (ates={ates})"
     assert p90 < 0.12, f"p90 ATE {p90} (ates={ates})"
+
+
+@pytest.mark.slow
+def test_fused_scan_matches_host_loop():
+    """run_incremental_sfm_fused (steady-state frames as one lax.scan,
+    batched frontend precompute) is BIT-IDENTICAL to the host loop on
+    CPU: same ops, same RNG split order (gate, skip-gate, conditional PnP
+    inside the cond), same features.  (On TPU the giant program fuses and
+    rounds differently — numerically equivalent, not bitwise; and the
+    host loop is faster there, see the function docstring.)"""
+    from photogrammetry_tpu.sfm.incremental import run_incremental_sfm_fused
+
+    scene = generate_sequence(StarSceneConfig(num_frames=8, supersample=2))
+    cfg = SfmConfig(collect_diagnostics=False)
+    for seed in (0, 4):
+        h = run_incremental_sfm(scene["frames"], scene["k"], cfg, seed=seed)
+        f = run_incremental_sfm_fused(scene["frames"], scene["k"], cfg,
+                                      seed=seed)
+        np.testing.assert_array_equal(h.rs, f.rs)
+        np.testing.assert_array_equal(h.ts, f.ts)
+        np.testing.assert_array_equal(np.asarray(h.table.points),
+                                      np.asarray(f.table.points))
+        assert h.costs[-1] == pytest.approx(f.costs[-1], rel=1e-6)
