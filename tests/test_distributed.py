@@ -88,3 +88,33 @@ def test_incremental_sfm_on_mesh():
     res = run_incremental_sfm(scene["frames"], scene["k"], cfg)
     assert len(res.points) > 20
     assert np.isfinite(res.camera_centers).all()
+
+
+def test_frame_parallel_frontend_sharded():
+    """Data-parallel frontend: the batch axis of
+    detect_and_describe_batch_split sharded over the 8-device mesh (each
+    device detects its frames; GSPMD inserts no collectives — the op is
+    batch-elementwise).  Results match the unsharded run exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from photogrammetry_tpu.sfm.frontend import (
+        FrontendConfig, detect_and_describe_batch_split, make_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.integers(0, 255, (8, 96, 128)), jnp.float32)
+    cfg = FrontendConfig(detection_threshold=30.0, max_keypoints=64,
+                         reduction="nms", suppression_radius=3.0)
+    pairs = make_pairs(cfg)
+
+    ref = detect_and_describe_batch_split(frames, pairs, cfg)
+
+    mesh = make_mesh()
+    sharded = jax.device_put(
+        frames, NamedSharding(mesh, P("tracks")))  # 1 frame per device
+    out = detect_and_describe_batch_split(sharded, pairs, cfg)
+    np.testing.assert_array_equal(np.asarray(out.points.coords),
+                                  np.asarray(ref.points.coords))
+    np.testing.assert_array_equal(np.asarray(out.bits),
+                                  np.asarray(ref.bits))
+    np.testing.assert_array_equal(np.asarray(out.xy), np.asarray(ref.xy))
