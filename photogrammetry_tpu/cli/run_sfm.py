@@ -183,6 +183,14 @@ def main(argv=None) -> int:
     report = {"frames": len(frames), "landmarks": len(res.points),
               "final_cost": costs[-1] if costs else None,
               "timings": timer.summary()}
+    # Ground-truth-free reconstruction quality (support + median
+    # reprojection error px) — the same metric restart selection uses.
+    if hasattr(res, "table"):
+        from photogrammetry_tpu.sfm.incremental import reconstruction_quality
+
+        support, med = reconstruction_quality(res, k)
+        report["quality"] = {"support": support,
+                             "median_reproj_px": round(med, 3)}
     if hasattr(res, "spans"):
         report["submaps"] = {"spans": [list(sp) for sp in res.spans],
                              "total_tracks": res.total_tracks,
