@@ -63,12 +63,17 @@ def build_pipeline(coeffs, threshold: float, suppression_radius: float,
         return draw_squares(np.asarray(dewarped), coords, half=3,
                             color=(0, 255, 0))
 
+    import threading
+
     counter = {"n": 0}
+    counter_lock = threading.Lock()  # records run on a thread pool
 
     def write(overlay):
         os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"keypoints_{counter['n']:03d}.png")
-        counter["n"] += 1
+        with counter_lock:
+            n = counter["n"]
+            counter["n"] += 1
+        path = os.path.join(out_dir, f"keypoints_{n:03d}.png")
         write_image(path, overlay)
         return path
 

@@ -53,6 +53,9 @@ def main(argv=None) -> int:
                          "sequence length instead of one fixed table")
     ap.add_argument("--submap-overlap", type=int, default=4)
     args = ap.parse_args(argv)
+    if args.restarts > 1 and args.checkpoint:
+        ap.error("--restarts and --checkpoint conflict: restart selection "
+                 "re-runs from scratch and cannot resume a snapshot")
 
     import numpy as np
 
@@ -174,6 +177,9 @@ def main(argv=None) -> int:
                 res.table = res.table._replace(
                     points=jnp.where(res.table.has_point[:, None], pts_lc,
                                      res.table.points))
+                # keep the result's poses consistent with the corrected
+                # landmarks (the quality report below reprojects them)
+                res.rs, res.ts = rs_out, ts_out
 
     write_ply(args.cloud, res.points)
     traj = {"centers": centers_out.tolist(),

@@ -33,8 +33,13 @@ class ReferenceKeyPoint:
         return f"ReferenceKeyPoint(coord={getattr(self, 'coord', None)})"
 
 
+try:  # numpy 2.x moved the internals; the pickle path name is historical
+    _np_scalar = np._core.multiarray.scalar
+except AttributeError:  # pragma: no cover - numpy 1.x
+    _np_scalar = np.core.multiarray.scalar
+
 _ALLOWED = {
-    ("numpy.core.multiarray", "scalar"): np.core.multiarray.scalar,
+    ("numpy.core.multiarray", "scalar"): _np_scalar,
     ("numpy", "dtype"): np.dtype,
 }
 
@@ -64,7 +69,6 @@ def load_reference_keypoints(path: str):
     bits = np.zeros((len(kps), 256), np.uint8)
     for row, kp in enumerate(kps):
         d = int(getattr(kp, "descriptor", 0))
-        for i in range(256):
-            if (d >> i) & 1:
-                bits[row, i] = 1
+        raw = np.frombuffer(d.to_bytes(32, "little"), np.uint8)
+        bits[row] = np.unpackbits(raw, bitorder="little")
     return coords, bits, moments

@@ -194,7 +194,12 @@ def detect_and_describe_batch(grays: jnp.ndarray, pairs: jnp.ndarray,
                               config: FrontendConfig) -> DescribedFrame:
     """Batched frontend over (B, H, W) frames (vmapped; shard the batch
     dimension over a mesh for multi-chip frame parallelism)."""
-    return jax.vmap(lambda g: detect_and_describe(g, pairs, config))(grays)
+    # pin the XLA stencil: vmap-of-pallas_call is unexercised on the axon
+    # AOT path (same guard as _detect_batch)
+    import dataclasses
+
+    cfg = dataclasses.replace(config, use_pallas_detect=False)
+    return jax.vmap(lambda g: detect_and_describe(g, pairs, cfg))(grays)
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -973,10 +973,17 @@ def run_incremental_sfm_fused(frames: np.ndarray, k: np.ndarray,
             frame_info.append({"frame": t, "pose_init": "bootstrap",
                                "bootstrap_pair": (0, t),
                                "bootstrap_support": support})
-            # bootstrap frame tail (same as host loop)
-            table = _triangulate_tracks_nview(table, rs, ts, kmat,
-                                              config.min_depth,
-                                              config.max_depth)
+            # bootstrap frame tail (same as host loop, honoring the
+            # configured triangulation path)
+            if config.nview_triangulation:
+                table = _triangulate_tracks_nview(table, rs, ts, kmat,
+                                                  config.min_depth,
+                                                  config.max_depth)
+            else:
+                first, last = first_last_observations(table)
+                table = _triangulate_tracks(table, rs, ts, kmat, first,
+                                            last, config.min_depth,
+                                            config.max_depth)
             state = BAState(rs=rs, ts=ts, points=table.points)
             prob = BAProblem(obs=table.obs,
                              mask=table.obs_mask & table.has_point[None, :],

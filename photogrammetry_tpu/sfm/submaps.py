@@ -177,9 +177,12 @@ def run_submap_sfm(frames: np.ndarray, k: np.ndarray,
                 edges.append((a + f, a + f + 1))
                 zr.append(np.asarray(r_rel))
                 zt.append(np.asarray(t_rel))
-                # overlap frames are measured by two submaps; weight the
-                # duplicate odometry as soft agreement constraints
-                w.append(1.0 if i == 0 or f >= ov else 2.0)
+                # edges fully inside the shared window (both endpoints
+                # among the ov shared frames, i.e. f <= ov-2) are measured
+                # by two submaps; weight that duplicate odometry as soft
+                # agreement.  The seam-crossing edge (f == ov-1) exists in
+                # this submap only and keeps unit weight.
+                w.append(1.0 if i == 0 or f >= ov - 1 else 2.0)
         graph = PoseGraph(edges=jnp.asarray(edges, jnp.int32),
                           z_rs=jnp.asarray(np.stack(zr), jnp.float32),
                           z_ts=jnp.asarray(np.stack(zt), jnp.float32),

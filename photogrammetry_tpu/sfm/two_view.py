@@ -66,8 +66,12 @@ def two_view_pipeline(key: jax.Array, xy1: jnp.ndarray, xy2: jnp.ndarray,
             decompose_homography, ransac_homography,
         )
 
-        hres = ransac_homography(key, xy1, xy2, mask, threshold,
-                                 num_samples=h_samples)
+        # Decorrelate the H draws from the F draws (split keys are
+        # prefix-stable, so reusing `key` would make the 4-point samples
+        # replicate halves of the 8-point samples); fold_in leaves the
+        # F stream untouched so F-only results are unchanged.
+        hres = ransac_homography(jax.random.fold_in(key, 1), xy1, xy2,
+                                 mask, threshold, num_samples=h_samples)
         rs_h, ts_h, _ = decompose_homography(hres.h, k, k)
         sh = hres.num_inliers.astype(jnp.float32)
         sf = res.num_inliers.astype(jnp.float32)

@@ -361,24 +361,7 @@ def _blend_backdrop(r, t, k, image_size, zb):
 
 
 def _fill_polygon(poly: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Even-odd scanline fill (same algorithm as star_scene's rasterizer)."""
-    mask = np.zeros((h, w), bool)
-    ys, xs = poly[:, 1], poly[:, 0]
-    n = len(poly)
-    y0 = max(int(np.floor(ys.min())), 0)
-    y1 = min(int(np.ceil(ys.max())), h - 1)
-    for y in range(y0, y1 + 1):
-        nodes = []
-        j = n - 1
-        for i in range(n):
-            if (ys[i] < y) != (ys[j] < y):
-                nodes.append(xs[i] + (y - ys[i]) / (ys[j] - ys[i])
-                             * (xs[j] - xs[i]))
-            j = i
-        nodes.sort()
-        for a, b in zip(nodes[0::2], nodes[1::2]):
-            lo = max(int(np.ceil(a)), 0)
-            hi = min(int(np.floor(b)), w - 1)
-            if hi >= lo:
-                mask[y, lo:hi + 1] = True
-    return mask
+    """Even-odd scanline fill (shared helper in synth.star_scene)."""
+    from photogrammetry_tpu.synth.star_scene import scanline_fill
+
+    return scanline_fill(poly, h, w)

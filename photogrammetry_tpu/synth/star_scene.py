@@ -218,14 +218,11 @@ def render_frame(cfg: StarSceneConfig, r: np.ndarray, t: np.ndarray,
     return np.round(low).astype(np.uint8)
 
 
-def _render_frame_raw(cfg: StarSceneConfig, r: np.ndarray, t: np.ndarray,
-                      k: np.ndarray) -> np.ndarray:
-    """Rasterize backdrop + filled star polygon + dots → (H, W) uint8."""
-    h, w = cfg.image_size
-    poly = project_scene(star_points_3d(cfg), r, t, k)  # (2n, 2) x,y
-    img = _render_backdrop(cfg, r, t, k)
-    star_mask = np.zeros((h, w), bool)
-    # Even-odd scanline fill.
+def scanline_fill(poly: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Even-odd scanline fill of a closed polygon → (h, w) bool mask.
+
+    Shared by this module's rasterizer and synth.blend_oracle."""
+    mask = np.zeros((h, w), bool)
     ys = poly[:, 1]
     xs = poly[:, 0]
     n = len(poly)
@@ -244,7 +241,17 @@ def _render_frame_raw(cfg: StarSceneConfig, r: np.ndarray, t: np.ndarray,
             lo = max(int(np.ceil(a)), 0)
             hi = min(int(np.floor(b)), w - 1)
             if hi >= lo:
-                star_mask[y, lo:hi + 1] = True
+                mask[y, lo:hi + 1] = True
+    return mask
+
+
+def _render_frame_raw(cfg: StarSceneConfig, r: np.ndarray, t: np.ndarray,
+                      k: np.ndarray) -> np.ndarray:
+    """Rasterize backdrop + filled star polygon + dots → (H, W) uint8."""
+    h, w = cfg.image_size
+    poly = project_scene(star_points_3d(cfg), r, t, k)  # (2n, 2) x,y
+    img = _render_backdrop(cfg, r, t, k)
+    star_mask = scanline_fill(poly, h, w)
     img[star_mask] = 255
 
     # foreground dots (skipped where they would overlap the star)
