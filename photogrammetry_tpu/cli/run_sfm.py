@@ -21,6 +21,13 @@ def main(argv=None) -> int:
     ap.add_argument("--cx", type=float, default=None)
     ap.add_argument("--cy", type=float, default=None)
     ap.add_argument("--detection-threshold", type=float, default=20.0)
+    ap.add_argument("--frame-stride", type=int, default=1,
+                    help="temporal subsampling: keep every Nth frame. "
+                         "Near-static spacing starves two-view parallax "
+                         "(measured on the blend-derived pan: all 60 "
+                         "frames ATE 0.086 vs stride-6 ATE 0.024 — "
+                         "BENCH_FULL.md); stride is the simple keyframing "
+                         "lever")
     ap.add_argument("--distortion-coeffs", type=float, nargs=5, default=None,
                     metavar=("K1", "K2", "K3", "K4", "K5"),
                     help="rational radial distortion coefficients; when "
@@ -82,8 +89,11 @@ def main(argv=None) -> int:
         from photogrammetry_tpu.cli.common import load_gray
 
         paths = sorted(glob.glob(os.path.join(args.frames, "*")))
+        if args.frame_stride > 1:
+            paths = paths[::args.frame_stride]
         if len(paths) < 2:
-            ap.error(f"need >= 2 frames in {args.frames}")
+            ap.error(f"need >= 2 frames in {args.frames} "
+                     f"(after stride {args.frame_stride})")
         frames = np.stack([load_gray(p) for p in paths])
         h, w = frames.shape[1:3]
         if args.distortion_coeffs is not None and \
