@@ -83,3 +83,37 @@ def test_run_sfm_submap_mode(tmp_path, capsys):
     assert cloud.is_file()
     data = json.loads(traj.read_text())
     assert len(data["centers"]) == 12
+
+
+@pytest.mark.slow
+def test_run_sfm_keyframe_mode(tmp_path, capsys):
+    import cv2
+
+    from photogrammetry_tpu.cli.run_sfm import main
+    from photogrammetry_tpu.synth.star_scene import (
+        StarSceneConfig, generate_sequence,
+    )
+
+    cfg = StarSceneConfig(num_frames=12, image_size=(240, 320), focal=260.0,
+                          supersample=2)
+    scene = generate_sequence(cfg)
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for i, f in enumerate(scene["frames"]):
+        cv2.imwrite(str(frames_dir / f"{i:03d}.png"), f)
+
+    traj = tmp_path / "traj.json"
+    rc = main([str(frames_dir),
+               "--fx", "260", "--cx", "160", "--cy", "120",
+               "--detection-threshold", "20",
+               "--keyframe-disp", "20",
+               "--trajectory", str(traj),
+               "--cloud", str(tmp_path / "cloud.ply")])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    report = json.loads([l for l in out.splitlines()
+                         if l.startswith("{")][0])
+    assert "keyframes" in report
+    assert 2 < len(report["keyframes"]) < 12
+    data = json.loads(traj.read_text())
+    assert len(data["centers"]) == 12  # every frame localized
