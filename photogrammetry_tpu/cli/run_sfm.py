@@ -193,20 +193,27 @@ def main(argv=None) -> int:
             # poses (the stored points belong to the pre-correction
             # gauge).  Submap results carry per-window tables instead of
             # one global table; their cloud stays pre-correction.
-            if hasattr(res, "table") and                     len(res.rs) == res.table.obs.shape[0]:
+            if hasattr(res, "table"):
                 from photogrammetry_tpu.sfm.triangulate import (
                     triangulate_nview,
                 )
 
-                pts_lc, _ = triangulate_nview(
-                    res.table.obs, res.table.obs_mask, rs_lc, ts_lc,
-                    jnp.asarray(k, jnp.float32))
-                res.table = res.table._replace(
-                    points=jnp.where(res.table.has_point[:, None], pts_lc,
-                                     res.table.points))
-                # keep the result's poses consistent with the corrected
-                # landmarks (the quality report below reprojects them)
-                res.rs, res.ts = rs_out, ts_out
+                # keyframe mode: the table rows are the keyframe subset
+                kf_rows = getattr(res, "keyframes", None)
+                rows = (kf_rows if kf_rows is not None
+                        else list(range(len(rs_out))))
+                if len(rows) == res.table.obs.shape[0]:
+                    ridx = jnp.asarray(rows)
+                    pts_lc, _ = triangulate_nview(
+                        res.table.obs, res.table.obs_mask,
+                        rs_lc[ridx], ts_lc[ridx],
+                        jnp.asarray(k, jnp.float32))
+                    res.table = res.table._replace(
+                        points=jnp.where(res.table.has_point[:, None],
+                                         pts_lc, res.table.points))
+                    # poses consistent with the corrected landmarks (the
+                    # quality report below reprojects them)
+                    res.rs, res.ts = rs_out, ts_out
 
     write_ply(args.cloud, res.points)
     traj = {"centers": centers_out.tolist(),
@@ -218,12 +225,21 @@ def main(argv=None) -> int:
               "timings": timer.summary()}
     # Ground-truth-free reconstruction quality (support + median
     # reprojection error px) — the same metric restart selection uses.
-    if hasattr(res, "table") and len(res.rs) == res.table.obs.shape[0]:
+    if hasattr(res, "table"):
+        from types import SimpleNamespace
+
         from photogrammetry_tpu.sfm.incremental import reconstruction_quality
 
-        support, med = reconstruction_quality(res, k)
-        report["quality"] = {"support": support,
-                             "median_reproj_px": round(med, 3)}
+        kf_rows = getattr(res, "keyframes", None)
+        rows = (kf_rows if kf_rows is not None
+                else list(range(len(res.rs))))
+        if len(rows) == res.table.obs.shape[0]:
+            view = SimpleNamespace(rs=np.asarray(res.rs)[rows],
+                                   ts=np.asarray(res.ts)[rows],
+                                   table=res.table)
+            support, med = reconstruction_quality(view, k)
+            report["quality"] = {"support": support,
+                                 "median_reproj_px": round(med, 3)}
     if hasattr(res, "spans"):
         report["submaps"] = {"spans": [list(sp) for sp in res.spans],
                              "total_tracks": res.total_tracks,

@@ -70,78 +70,88 @@ def localize_nonkeyframes(frames, keyframes, feats, res: SfmResult,
                           seed: int = 99):
     """Poses for every frame: keyframes keep the SfM poses; each skipped
     frame matches against its nearest keyframe, inherits the keyframe's
-    2D-3D track associations and solves RANSAC PnP.
+    2D-3D track associations and refines a motion-only BA pose from the
+    previous frame's (RANSAC DLT-PnP is only the rescue: it needs >= 6
+    NON-coplanar samples, and maps dominated by a planar structure — the
+    blend star — make clean draws rare).
+
+    TPU discipline (docs/tpu_notes.md §3/§6): poses accumulate on device
+    and transfer once at the end; per-frame decisions read one 0-d scalar
+    (the inlier count that picks the path).
 
     Returns (rs (F,3,3), ts (F,3), info list).
     """
+    from photogrammetry_tpu.sfm.ba import BAProblem, BAState, bundle_adjust
+    from photogrammetry_tpu.sfm.pnp import pnp_reprojection_errors
+
     fc = config.frontend
     kmat = jnp.asarray(k, jnp.float32)
     num_frames = len(frames)
-    rs = np.zeros((num_frames, 3, 3), np.float32)
-    ts = np.zeros((num_frames, 3), np.float32)
     kf_pos = {kf: i for i, kf in enumerate(keyframes)}
-    for kf, i in kf_pos.items():
-        rs[kf] = res.rs[i]
-        ts[kf] = res.ts[i]
+    table = res.table
+    cap = table.points.shape[0]
+
+    # Per-keyframe claim map, computed once per keyframe (not per skipped
+    # frame): keyframe keypoint j -> landmark id within 2 px, or -1.
+    kp_lm_by_kf = {}
+    for kf, row in kf_pos.items():
+        kf_xy = feats[kf].xy
+        obs = table.obs[row]
+        tvalid = table.obs_mask[row] & table.has_point
+        d = jnp.linalg.norm(kf_xy[:, None, :] - obs[None], axis=-1)
+        d = jnp.where(tvalid[None, :], d, jnp.inf)
+        nearest = jnp.argmin(d, axis=1)
+        claimed = jnp.take_along_axis(d, nearest[:, None],
+                                      axis=1)[:, 0] < 2.0
+        kp_lm_by_kf[kf] = jnp.where(claimed & feats[kf].points.mask,
+                                    nearest, -1)
 
     key = jax.random.PRNGKey(seed)
-    table = res.table
+    rs_dev = [None] * num_frames
+    ts_dev = [None] * num_frames
+    for kf, i in kf_pos.items():
+        rs_dev[kf] = jnp.asarray(res.rs[i], jnp.float32)
+        ts_dev[kf] = jnp.asarray(res.ts[i], jnp.float32)
+
     info = []
     for t in range(num_frames):
         if t in kf_pos:
             continue
-        # nearest keyframe (in time)
         kf = min(keyframes, key=lambda x: abs(x - t))
-        row = kf_pos[kf]
         m = match_pair(feats[t], feats[kf], fc)
-        # keyframe keypoint j -> landmark: claim the nearest observed
-        # track of the keyframe within 2 px
-        kf_xy = feats[kf].xy                          # (K, 2)
-        obs = table.obs[row]                          # (T, 2)
-        tvalid = table.obs_mask[row] & table.has_point
-        d = jnp.linalg.norm(kf_xy[:, None, :] - obs[None], axis=-1)
-        d = jnp.where(tvalid[None, :], d, jnp.inf)
-        nearest = jnp.argmin(d, axis=1)               # (K,)
-        claimed = jnp.take_along_axis(d, nearest[:, None], axis=1)[:, 0] < 2.0
-        kp_lm = jnp.where(claimed & feats[kf].points.mask, nearest, -1)
+        lm = jnp.where(m.mask, kp_lm_by_kf[kf][jnp.clip(m.idx2, 0)], -1)
 
-        # skipped-frame keypoint i -> landmark via its keyframe match
-        lm = jnp.where(m.mask, kp_lm[jnp.clip(m.idx2, 0)], -1)
-        pnp_mask = jnp.zeros((table.points.shape[0],), bool)
-        xy = jnp.zeros((table.points.shape[0], 2), jnp.float32)
-        ok = lm >= 0
-        lm_w = jnp.where(ok, lm, table.points.shape[0])  # OOB -> dropped
-        pnp_mask = pnp_mask.at[lm_w].set(True, mode="drop")
-        xy = xy.at[lm_w].set(m.xy1, mode="drop")
+        # Deterministic landmark->observation selection: when several
+        # frame-t keypoints inherit the same landmark, the lowest Hamming
+        # distance wins (scatter-MIN of an encoded (dist, kp-index) key is
+        # commutative, unlike scatter-set with duplicate indices whose
+        # winner is unspecified).
+        kcount = lm.shape[0]
+        enc = jnp.where(lm >= 0,
+                        m.dist.astype(jnp.int32) * kcount
+                        + jnp.arange(kcount, dtype=jnp.int32),
+                        jnp.iinfo(jnp.int32).max)
+        slot_enc = jnp.full((cap,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        lm_w = jnp.where(lm >= 0, lm, cap)
+        slot_enc = slot_enc.at[lm_w].min(enc, mode="drop")
+        pnp_mask = slot_enc < jnp.iinfo(jnp.int32).max
+        chosen = jnp.clip(slot_enc % kcount, 0, kcount - 1)
+        xy = jnp.where(pnp_mask[:, None], m.xy1[chosen], 0.0)
 
-        # Prior pose: the previous frame (processed in order, so always
-        # already localized) or the nearest keyframe — then a motion-only
-        # BA on the inherited 2D-3D pairs.  RANSAC DLT-PnP is only the
-        # rescue: it needs >= 6 NON-coplanar samples, and maps dominated
-        # by a planar structure (the blend star) make clean draws rare
-        # (measured: 0 inliers on most mid-gap frames, 18 on a lucky key).
-        prior_r = rs[t - 1] if t > 0 else rs[kf]
-        prior_t = ts[t - 1] if t > 0 else ts[kf]
-        from photogrammetry_tpu.sfm.ba import (
-            BAProblem, BAState, bundle_adjust,
-        )
-
-        state = BAState(rs=jnp.asarray(prior_r)[None],
-                        ts=jnp.asarray(prior_t)[None],
+        prior_r = rs_dev[t - 1] if t > 0 else rs_dev[kf]
+        prior_t = ts_dev[t - 1] if t > 0 else ts_dev[kf]
+        state = BAState(rs=prior_r[None], ts=prior_t[None],
                         points=table.points)
         prob = BAProblem(obs=xy[None], mask=pnp_mask[None], k=kmat)
         out = bundle_adjust(state, prob, num_iterations=10,
                             optimize_points=False,
                             fixed_cameras=jnp.ones((1,)))
         r_m, t_m = out.state.rs[0], out.state.ts[0]
-        from photogrammetry_tpu.sfm.pnp import pnp_reprojection_errors
-
         err, z = pnp_reprojection_errors(r_m, t_m, table.points, xy, kmat)
         n_in = int(jnp.sum(pnp_mask & (err < config.pnp_threshold)
                            & (z > 0)))
         if n_in >= config.min_pnp_inliers:
-            rs[t] = np.asarray(r_m)
-            ts[t] = np.asarray(t_m)
+            rs_dev[t], ts_dev[t] = r_m, t_m
             info.append({"frame": t, "keyframe": kf, "inliers": n_in,
                          "path": "motion_ba"})
             continue
@@ -151,16 +161,17 @@ def localize_nonkeyframes(frames, keyframes, feats, res: SfmResult,
                          num_samples=config.pnp_samples)
         n_pnp = int(pnp.num_inliers)
         if n_pnp >= config.min_pnp_inliers:
-            rs[t] = np.asarray(pnp.r)
-            ts[t] = np.asarray(pnp.t)
+            rs_dev[t], ts_dev[t] = pnp.r, pnp.t
             info.append({"frame": t, "keyframe": kf, "inliers": n_pnp,
                          "path": "ransac_pnp"})
         else:
-            rs[t] = rs[kf]
-            ts[t] = ts[kf]
+            rs_dev[t], ts_dev[t] = rs_dev[kf], ts_dev[kf]
             info.append({"frame": t, "keyframe": kf, "inliers": n_pnp,
                          "fallback": True})
-    return rs, ts, info
+
+    # ONE batched device->host transfer for the whole trajectory
+    rs, ts = jax.device_get((jnp.stack(rs_dev), jnp.stack(ts_dev)))
+    return np.asarray(rs, np.float32), np.asarray(ts, np.float32), info
 
 
 def run_keyframed_sfm(frames: np.ndarray, k: np.ndarray,
