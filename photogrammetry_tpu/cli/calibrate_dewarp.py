@@ -28,6 +28,11 @@ def main(argv=None) -> int:
                     help="alternating extract/fit rounds")
     ap.add_argument("--iterations", type=int, default=30,
                     help="LM iterations per round")
+    ap.add_argument("--model", default="rational",
+                    choices=("rational", "brown"),
+                    help="distortion model: the reference's 5-param "
+                         "rational, or the even-power Brown model from "
+                         "its derivation notes (de_warping.md method 3)")
     ap.add_argument("--fit-denominator", action="store_true",
                     help="also fit k3..k5 (denominator); default fits the "
                     "numerator pair [k1, k2] like the reference uses")
@@ -45,12 +50,18 @@ def main(argv=None) -> int:
     from photogrammetry_tpu.cli.common import load_gray
     from photogrammetry_tpu.ops.calibrate import (
         assign_points_to_lines, calibrate_distortion, extract_edge_points,
-        hough_from_points, undistort_points,
+        hough_from_points, undistort_points, undistort_points_brown,
     )
     from photogrammetry_tpu.utils.profiling import StageTimer, append_stats
 
-    param_mask = jnp.array([1.0, 1.0, 1.0, 1.0, 1.0] if args.fit_denominator
-                           else [1.0, 1.0, 0.0, 0.0, 0.0], jnp.float32)
+    if args.model == "brown":
+        param_mask = jnp.array([1.0, 1.0, 1.0, 0.0, 0.0], jnp.float32)
+        undist = undistort_points_brown
+    else:
+        param_mask = jnp.array([1.0, 1.0, 1.0, 1.0, 1.0]
+                               if args.fit_denominator
+                               else [1.0, 1.0, 0.0, 0.0, 0.0], jnp.float32)
+        undist = undistort_points
     timer = StageTimer()
 
     # Pool line groups from every input image (all must share dimensions so
@@ -72,7 +83,7 @@ def main(argv=None) -> int:
         for _ in range(max(1, args.rounds)):
             all_pts, all_masks = [], []
             for pts, val in extracted:
-                und = undistort_points(pts, coeffs, center)
+                und = undist(pts, coeffs, center)
                 lines = hough_from_points(und, val, center, extent,
                                           num_lines=args.num_lines)
                 ti, mask = assign_points_to_lines(und, val, lines, center,
@@ -84,12 +95,14 @@ def main(argv=None) -> int:
             result = calibrate_distortion(grouped, mask, center,
                                           init_coeffs=coeffs,
                                           num_iterations=args.iterations,
-                                          param_mask=param_mask)
+                                          param_mask=param_mask,
+                                          model=args.model)
             coeffs = result.coeffs
 
     fitted = [float(c) for c in np.asarray(result.coeffs)]
     print(json.dumps({
         "coefficients": fitted,
+        "model": args.model,
         "initial_cost": float(result.initial_cost),
         "final_cost": float(result.cost),
         "images": args.images,
@@ -105,7 +118,16 @@ def main(argv=None) -> int:
         from photogrammetry_tpu.ops.dewarp import (
             apply_distortion_map, generate_distortion_map,
         )
-        dmap = generate_distortion_map(h, w, jnp.asarray(fitted, jnp.float32))
+        if args.model == "brown":
+            from photogrammetry_tpu.ops.dewarp import (
+                generate_distortion_map_brown,
+            )
+
+            dmap = generate_distortion_map_brown(
+                h, w, jnp.asarray(fitted, jnp.float32))
+        else:
+            dmap = generate_distortion_map(
+                h, w, jnp.asarray(fitted, jnp.float32))
         out = apply_distortion_map(imgs[0], dmap)
         write_image(args.dewarp_output, np.asarray(out).astype(np.uint8))
         print(f"wrote {args.dewarp_output}")

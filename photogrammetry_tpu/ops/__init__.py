@@ -18,5 +18,7 @@ from photogrammetry_tpu.ops.calibrate import (
     calibrate_distortion,
     calibrate_from_image,
     distort_points,
+    distort_points_brown,
     undistort_points,
+    undistort_points_brown,
 )

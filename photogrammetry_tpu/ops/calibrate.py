@@ -91,6 +91,43 @@ def undistort_points(xy: jnp.ndarray, coeffs: jnp.ndarray,
     return center + d * (r / rd)[..., None]
 
 
+def undistort_points_brown(xy: jnp.ndarray, coeffs: jnp.ndarray,
+                           center: jnp.ndarray) -> jnp.ndarray:
+    """Brown even-power model (notes/de_warping.md "Alternate Method 3"):
+    undistorted = distorted * g(r), g = 1 + k1 r^2 + k2 r^4 + k3 r^6.
+    Closed form in this direction — the cheap side lands in the fit loop.
+
+    coeffs: (5,) with [k1, k2, k3, unused, unused]."""
+    coeffs = jnp.asarray(coeffs, jnp.float32)
+    k1, k2, k3 = coeffs[0], coeffs[1], coeffs[2]
+    d = xy - center
+    r2 = jnp.sum(d * d, axis=-1) + _EPS
+    g = 1.0 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
+    return center + d * g[..., None]
+
+
+def distort_points_brown(xy: jnp.ndarray, coeffs: jnp.ndarray,
+                         center: jnp.ndarray,
+                         newton_steps: int = 12) -> jnp.ndarray:
+    """Inverse Brown model (undistorted -> distorted): Newton on
+    h(r) = r g(r) - r0 from r = r0 (differentiable through the iteration)."""
+    coeffs = jnp.asarray(coeffs, jnp.float32)
+    k1, k2, k3 = coeffs[0], coeffs[1], coeffs[2]
+    d = xy - center
+    r0 = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+    r = r0
+    for _ in range(newton_steps):
+        r2 = r * r
+        g = 1.0 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
+        gp = 2.0 * k1 * r + 4.0 * k2 * r ** 3 + 6.0 * k3 * r ** 5
+        h = r * g - r0
+        hp = g + r * gp
+        hp = jnp.where(jnp.abs(hp) < 1e-6,
+                       jnp.where(hp < 0, -1e-6, 1e-6), hp)
+        r = r - h / hp
+    return center + d * (r / r0)[..., None]
+
+
 def line_residuals(points: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Signed distances of (L, P, 2) points to each line's best-fit line.
 
@@ -107,41 +144,51 @@ def line_residuals(points: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     sxx = jnp.sum(d[..., 0] ** 2, axis=1)
     syy = jnp.sum(d[..., 1] ** 2, axis=1)
     sxy = jnp.sum(d[..., 0] * d[..., 1], axis=1)
-    # smallest-eigenvalue eigenvector of [[sxx, sxy], [sxy, syy]]:
-    # normal n = (sin t, cos t)-style closed form via the half-angle trick.
-    tr = sxx + syy
-    df = sxx - syy
-    disc = jnp.sqrt(df * df + 4.0 * sxy * sxy + _EPS)
-    lam_min = 0.5 * (tr - disc)
-    # eigenvector for lam_min: (sxy, lam_min - sxx) unless degenerate.
-    nx = sxy
-    ny = lam_min - sxx
-    nn = jnp.sqrt(nx * nx + ny * ny)
-    # degenerate (axis-aligned scatter): pick the axis with smaller variance.
-    ax = jnp.where((sxx <= syy)[..., None],
-                   jnp.stack([jnp.ones_like(nx), jnp.zeros_like(nx)], -1),
-                   jnp.stack([jnp.zeros_like(nx), jnp.ones_like(nx)], -1))
-    n = jnp.where((nn > 1e-9)[..., None],
-                  jnp.stack([nx, ny], -1) / jnp.maximum(nn, _EPS)[..., None],
-                  ax)                                           # (L, 2)
+    # Normal of the TLS line via the principal-axis half-angle:
+    #   phi = 0.5 atan2(2 sxy, sxx - syy)  (direction of MAX variance)
+    #   n   = (-sin phi, cos phi)
+    # atan2 is cancellation-free.  The previous eigenvector form
+    # (sxy, lam_min - sxx) subtracted two nearly-equal f32 numbers; with
+    # axis-aligned lines (sxy ~ 0, variances differing by ~1e6x) the
+    # difference was pure rounding noise and the normal could flip onto
+    # the line DIRECTION, reporting the full line extent as "residual"
+    # (caught by the Brown-model grid fixtures).
+    phi = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)
+    n = jnp.stack([-jnp.sin(phi), jnp.cos(phi)], -1)            # (L, 2)
     return jnp.sum(d * n[:, None, :], axis=-1)                  # (L, P)
 
 
 class CalibrationResult(NamedTuple):
-    coeffs: jnp.ndarray        # (5,) fitted [k1..k5]
+    coeffs: jnp.ndarray        # (5,) fitted coefficients (model-dependent)
     cost: jnp.ndarray          # final sum of squared line residuals
     initial_cost: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("num_iterations",))
+class ImageCalibration(NamedTuple):
+    """calibrate_from_image result: CalibrationResult fields + which
+    distortion model the coefficients belong to.  (Host-side only — jitted
+    code returns CalibrationResult, whose pytree stays string-free.)"""
+    coeffs: jnp.ndarray
+    cost: jnp.ndarray
+    initial_cost: jnp.ndarray
+    model: str
+
+
+@partial(jax.jit, static_argnames=("num_iterations", "model"))
 def calibrate_distortion(points: jnp.ndarray, mask: jnp.ndarray,
                          center: jnp.ndarray,
                          init_coeffs: jnp.ndarray | None = None,
                          param_mask: jnp.ndarray | None = None,
                          num_iterations: int = 30,
                          init_lambda: float = 1e-3,
-                         radius_scale: float = 1000.0) -> CalibrationResult:
-    """Plumb-line LM fit of the rational-model coefficients.
+                         radius_scale: float = 1000.0,
+                         model: str = "rational") -> CalibrationResult:
+    """Plumb-line LM fit of the distortion coefficients.
+
+    model="rational" fits the reference's 5-parameter rational radial
+    model; model="brown" fits the even-power Brown model of the
+    reference's derivation notes (notes/de_warping.md "Alternate Method
+    3": g = 1 + k1 r^2 + k2 r^4 + k3 r^6, coefficients in slots [0:3]).
 
     Args:
       points: (L, P, 2) distorted (row, col) edge points grouped by line.
@@ -160,13 +207,24 @@ def calibrate_distortion(points: jnp.ndarray, mask: jnp.ndarray,
     if init_coeffs is None:
         init_coeffs = jnp.zeros((5,), jnp.float32)
     if param_mask is None:
-        param_mask = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0], jnp.float32)
+        param_mask = (jnp.array([1.0, 1.0, 0.0, 0.0, 0.0], jnp.float32)
+                      if model == "rational"
+                      else jnp.array([1.0, 1.0, 1.0, 0.0, 0.0],
+                                     jnp.float32))
     init_coeffs = jnp.asarray(init_coeffs, jnp.float32)
     param_mask = jnp.asarray(param_mask, jnp.float32)
     center = jnp.asarray(center, jnp.float32)
     w = mask.astype(jnp.float32)
 
-    powers = jnp.arange(1, 6, dtype=jnp.float32)
+    if model == "rational":
+        powers = jnp.arange(1, 6, dtype=jnp.float32)
+        undist = undistort_points
+    elif model == "brown":
+        # Brown coefficients multiply r^2, r^4, r^6
+        powers = jnp.array([2.0, 4.0, 6.0, 1.0, 1.0], jnp.float32)
+        undist = undistort_points_brown
+    else:
+        raise ValueError(f"unknown model {model!r}")
     scale = radius_scale ** powers                 # (5,)
 
     rd = jnp.sqrt(jnp.sum((points - center) ** 2, axis=-1) + _EPS)
@@ -174,7 +232,7 @@ def calibrate_distortion(points: jnp.ndarray, mask: jnp.ndarray,
 
     def resid(scaled):
         coeffs = scaled / scale
-        und = undistort_points(points, coeffs, center)
+        und = undist(points, coeffs, center)
         # Scale-invariance guard: plumb-line cost alone has a descent
         # direction that shrinks *all* undistorted points toward the center
         # (larger f => smaller r for every observed rd), reducing absolute
@@ -339,7 +397,8 @@ def assign_points_to_lines(points: jnp.ndarray, weights: jnp.ndarray,
 def calibrate_from_image(image, num_lines: int = 8, tol: float = 4.0,
                          num_points: int = 4096, points_per_line: int = 512,
                          rounds: int = 3, num_iterations: int = 30,
-                         param_mask=None) -> CalibrationResult:
+                         param_mask=None,
+                         model: str = "rational") -> "ImageCalibration":
     """Grayscale image of straight edges -> fitted distortion coefficients.
 
     Alternates line extraction and model fitting: each round undistorts the
@@ -348,7 +407,26 @@ def calibrate_from_image(image, num_lines: int = 8, tol: float = 4.0,
     straight, so strongly-curved edges still collect into one bin), then
     refits the coefficients against the original distorted coordinates.
     Round 1 (identity coefficients) is the classic single-shot estimate.
+
+    model: "rational" (the reference's production model), "brown" (the
+    even-power candidate from notes/de_warping.md), or "auto" — fit both
+    and keep whichever leaves the lines straighter (lower final cost).
     """
+    if model == "auto":
+        best = None
+        for m in ("rational", "brown"):
+            r = calibrate_from_image(image, num_lines=num_lines, tol=tol,
+                                     num_points=num_points,
+                                     points_per_line=points_per_line,
+                                     rounds=rounds,
+                                     num_iterations=num_iterations,
+                                     param_mask=param_mask, model=m)
+            if best is None or float(r.cost) < float(best.cost):
+                best = r
+        return best
+
+    undist = undistort_points if model == "rational" \
+        else undistort_points_brown
     image = jnp.asarray(image)
     h, w = image.shape
     center = jnp.array([h / 2.0, w / 2.0], jnp.float32)
@@ -358,7 +436,7 @@ def calibrate_from_image(image, num_lines: int = 8, tol: float = 4.0,
     coeffs = jnp.zeros((5,), jnp.float32)
     result = None
     for _ in range(max(1, rounds)):
-        und = undistort_points(pts, coeffs, center)
+        und = undist(pts, coeffs, center)
         lines = hough_from_points(und, val, center, extent,
                                   num_lines=num_lines)
         ti, mask = assign_points_to_lines(und, val, lines, center, tol=tol,
@@ -367,6 +445,7 @@ def calibrate_from_image(image, num_lines: int = 8, tol: float = 4.0,
         result = calibrate_distortion(grouped, mask, center,
                                       init_coeffs=coeffs,
                                       num_iterations=num_iterations,
-                                      param_mask=param_mask)
+                                      param_mask=param_mask, model=model)
         coeffs = result.coeffs
-    return result
+    return ImageCalibration(result.coeffs, result.cost,
+                            result.initial_cost, model)

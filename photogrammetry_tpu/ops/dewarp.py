@@ -69,6 +69,47 @@ def solve_undistorted_radius(rd: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarra
     return jnp.where(rd <= 0.0, 0.0, r)
 
 
+@jax.jit
+def solve_distorted_radius_brown(r0: jnp.ndarray,
+                                 coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Source (distorted) radius r for output (undistorted) radius r0 under
+    the Brown even-power model r0 = r g(r), g = 1 + k1 r^2 + k2 r^4
+    + k3 r^6 (notes/de_warping.md "Alternate Method 3").  Newton with a
+    static trip count from r = r0 — jittable, no data-dependent loop."""
+    coeffs = jnp.asarray(coeffs, jnp.float32)
+    k1, k2, k3 = coeffs[0], coeffs[1], coeffs[2]
+    r = r0
+    for _ in range(12):
+        r2 = r * r
+        g = 1.0 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
+        gp = 2.0 * k1 * r + 4.0 * k2 * r ** 3 + 6.0 * k3 * r ** 5
+        h = r * g - r0
+        hp = g + r * gp
+        hp = jnp.where(jnp.abs(hp) < 1e-6,
+                       jnp.where(hp < 0, -1e-6, 1e-6), hp)
+        r = r - h / hp
+    return jnp.where(r0 <= 0.0, 0.0, r)
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def generate_distortion_map_brown(height: int, width: int,
+                                  coeffs) -> jnp.ndarray:
+    """(H, W, 2) map for the Brown model: output (undistorted) pixel ->
+    source (row, col) in the distorted input.  Same layout/conventions as
+    generate_distortion_map; consumed by the same apply_distortion_map."""
+    coeffs = jnp.asarray(coeffs, jnp.float32)
+    x0 = height / 2.0
+    y0 = width / 2.0
+    u = jnp.arange(height, dtype=jnp.float32)[:, None]
+    v = jnp.arange(width, dtype=jnp.float32)[None, :]
+    x = (u - x0) * jnp.ones_like(v)
+    y = (v - y0) * jnp.ones_like(u)
+    r_out = jnp.sqrt(x * x + y * y)
+    r_src = solve_distorted_radius_brown(r_out, coeffs)
+    scale = jnp.where(r_out > 0.0, r_src / jnp.maximum(r_out, _EPS), 1.0)
+    return jnp.stack([x * scale + x0, y * scale + y0], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("height", "width", "quantize"))
 def generate_distortion_map(height: int, width: int, coeffs,
                             quantize: bool = False) -> jnp.ndarray:

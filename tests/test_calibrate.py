@@ -128,3 +128,108 @@ def test_calibrate_cli(tmp_path):
     fitted = json.load(open(coeffs_file))["coefficients"]
     assert 1e-4 < fitted[0] < 6e-4
     assert out.exists()
+
+
+# ------------------------------------------------------------- brown model
+BROWN_TRUE = np.array([4e-7, -2e-13, 0.0, 0.0, 0.0], np.float32)
+
+
+def _grid_line_points(n_lines=8, pts=64, extent=220.0):
+    ts = np.linspace(-extent, extent, pts)
+    rows = []
+    for c in np.linspace(-extent, extent, n_lines):
+        rows.append(np.stack([np.full(pts, c), ts], -1))
+        rows.append(np.stack([ts, np.full(pts, c)], -1))
+    return jnp.asarray(np.stack(rows) + np.asarray(CENTER), jnp.float32)
+
+
+def test_brown_round_trip():
+    from photogrammetry_tpu.ops.calibrate import (
+        distort_points_brown, undistort_points_brown,
+    )
+
+    pts = _grid_line_points()
+    dist = distort_points_brown(pts, BROWN_TRUE, CENTER)
+    assert float(jnp.max(jnp.abs(dist - pts))) > 1.0  # real distortion
+    back = undistort_points_brown(dist, BROWN_TRUE, CENTER)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=5e-2)
+
+
+def test_calibrate_brown_recovers_coefficients():
+    from photogrammetry_tpu.ops.calibrate import distort_points_brown
+
+    pts = _grid_line_points()
+    dist = distort_points_brown(pts, BROWN_TRUE, CENTER)
+    mask = jnp.ones(dist.shape[:2], bool)
+    res = calibrate_distortion(dist, mask, CENTER, num_iterations=40,
+                               model="brown")
+    assert float(res.cost) < 1e-2 * float(res.initial_cost)
+    assert np.asarray(res.coeffs)[0] == pytest.approx(float(BROWN_TRUE[0]),
+                                                      rel=0.2)
+
+
+def test_brown_dewarp_map_inverts_model():
+    """generate_distortion_map_brown + the Brown forward model compose to
+    the identity on radii (the map's source radius maps back to the
+    output radius)."""
+    from photogrammetry_tpu.ops.dewarp import solve_distorted_radius_brown
+
+    k = jnp.asarray(BROWN_TRUE)
+    r0 = jnp.linspace(0.0, 300.0, 64)
+    r = solve_distorted_radius_brown(r0, k)
+    r2 = r * r
+    g = 1.0 + k[0] * r2 + k[1] * r2 ** 2 + k[2] * r2 ** 3
+    np.testing.assert_allclose(np.asarray(r * g), np.asarray(r0), atol=1e-2)
+
+
+def test_model_discrimination_on_points():
+    """Fitting both models on brown-warped line points: the generating
+    model straightens far better — the quantity model='auto' selects on."""
+    from photogrammetry_tpu.ops.calibrate import distort_points_brown
+
+    pts = _grid_line_points()
+    dist = distort_points_brown(pts, BROWN_TRUE, CENTER)
+    mask = jnp.ones(dist.shape[:2], bool)
+    res_b = calibrate_distortion(dist, mask, CENTER, num_iterations=40,
+                                 model="brown")
+    res_r = calibrate_distortion(dist, mask, CENTER, num_iterations=40,
+                                 model="rational")
+    assert float(res_b.cost) < 0.3 * float(res_r.cost)
+
+
+def test_auto_model_selection_on_image():
+    """calibrate_from_image(model='auto') returns the lower-cost of the
+    two model fits, labeled, and the result is a USABLE calibration: its
+    undistortion agrees with the true rational mapping to a few px over
+    the data radii.  (Which label wins is not asserted — mild rational
+    distortion is representable by the even-power family too, and the
+    costs land within noise of each other.)"""
+    from photogrammetry_tpu.ops.calibrate import undistort_points_brown
+    from photogrammetry_tpu.ops.dewarp import (
+        apply_distortion_map, generate_distortion_map,
+    )
+
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    grid = ((xx % 96 < 3) | (yy % 96 < 3)).astype(np.float32) * 255.0
+    dmap = generate_distortion_map(H, W, TRUE)
+    distorted = apply_distortion_map(jnp.asarray(grid), dmap)
+    res = calibrate_from_image(distorted, num_lines=10, tol=6.0, rounds=3,
+                               num_iterations=40, model="auto")
+    assert res.model in ("rational", "brown")
+    for m in ("rational", "brown"):
+        single = calibrate_from_image(distorted, num_lines=10, tol=6.0,
+                                      rounds=3, num_iterations=40, model=m)
+        assert float(res.cost) <= float(single.cost) + 1e-3
+    # functional equivalence of the chosen undistortion to the truth
+    t = jnp.linspace(-250.0, 250.0, 64)
+    pts = jnp.stack([jnp.full_like(t, 60.0) + CENTER[0] - CENTER[0],
+                     t], -1) + CENTER  # horizontal probe line
+    dist = distort_points(pts, TRUE, CENTER)
+    und_fn = undistort_points if res.model == "rational" \
+        else undistort_points_brown
+    und = und_fn(dist, res.coeffs, CENTER)
+    diff = jnp.max(jnp.linalg.norm(und - pts, axis=-1))
+    # cross-family approximation headroom: same-model recovery on this
+    # fixture lands ~4 px (test_calibrate_from_image_grid); measured 6.5
+    # when the even-power family wins the cost race
+    assert float(diff) < 10.0
