@@ -14,6 +14,16 @@ Input: the committed real 1080p frame
 synthetic noise — noise saturates NMS with dense detections and measures a
 workload the reference never ran (VERDICT r2; measured noise-vs-real gap at
 capacity 2048 is 5.4x, scripts/bench_frontend_variants.py).
+
+Measurement methodology (round 4 — fixes the 2.5x fresh-process spread
+called out in VERDICT r3): a fixed 200-iteration one-shot loop measured
+only ~17 ms of wall clock and inherited whatever tunnel-dispatch state the
+process started in (observed fresh-process range 2.2k-22k fps for identical
+code).  Now the bench (a) warms up in 100-iter blocks until two consecutive
+blocks agree within 5% (steady state), then (b) times five 200-iter blocks
+and reports the MEDIAN block — robust to a transient stall in any one
+block.  Five fresh processes measured 11.1k-12.1k fps (+-5%) with this
+scheme; see BENCH_FULL.md for the distribution.
 """
 from __future__ import annotations
 
@@ -63,18 +73,32 @@ def main() -> None:
     def fn(im):
         return detect_and_describe_split(im, pairs, config)
 
-    # warmup / compile
-    out = fn(frame)
-    jax.block_until_ready(out)
-
-    iters = 200
-    start = time.perf_counter()
-    for _ in range(iters):
+    def timed_block(iters: int) -> float:
+        """Frames/s over one block (block_until_ready bookends)."""
         out = fn(frame)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+        jax.block_until_ready(out)
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = fn(frame)
+        jax.block_until_ready(out)
+        return iters / (time.perf_counter() - start)
 
-    fps = iters / elapsed
+    # compile / first-dispatch warmup
+    jax.block_until_ready(fn(frame))
+
+    # (a) steady-state gate: 100-iter blocks until two consecutive agree
+    # within 5% (tunnel dispatch state settles over the first O(1k) calls;
+    # capped at 30 blocks = 3000 iters so a noisy tunnel can't hang us).
+    prev = timed_block(100)
+    for _ in range(30):
+        cur = timed_block(100)
+        if abs(cur - prev) <= 0.05 * max(cur, prev):
+            break
+        prev = cur
+
+    # (b) measurement: median of five 200-iter blocks
+    fps = float(np.median([timed_block(200) for _ in range(5)]))
+
     print(json.dumps({
         "metric": "frontend_frames_per_s_per_chip_1920x1080",
         "value": round(fps, 3),

@@ -63,17 +63,13 @@ def build_pipeline(coeffs, threshold: float, suppression_radius: float,
         return draw_squares(np.asarray(dewarped), coords, half=3,
                             color=(0, 255, 0))
 
-    import threading
-
-    counter = {"n": 0}
-    counter_lock = threading.Lock()  # records run on a thread pool
-
-    def write(overlay):
+    def write(overlay, source):
+        # name from the input path, not a completion counter: with
+        # --workers > 1 records finish in arbitrary order, so a shared
+        # counter would map output indices to inputs nondeterministically
         os.makedirs(out_dir, exist_ok=True)
-        with counter_lock:
-            n = counter["n"]
-            counter["n"] += 1
-        path = os.path.join(out_dir, f"keypoints_{n:03d}.png")
+        stem = os.path.splitext(os.path.basename(str(source)))[0]
+        path = os.path.join(out_dir, f"keypoints_{stem}.png")
         write_image(path, overlay)
         return path
 
@@ -90,7 +86,8 @@ def build_pipeline(coeffs, threshold: float, suppression_radius: float,
         Stage("nms", Variant.KEYPOINTS, Variant.DENOISED_KEYPOINTS, nms),
         Stage("draw", Variant.DENOISED_KEYPOINTS, Variant.OVERLAY, draw,
               extra_inputs=(Variant.DEWARPED_RGB,)),
-        Stage("write", Variant.OVERLAY, Variant.ARTIFACT, write),
+        Stage("write", Variant.OVERLAY, Variant.ARTIFACT, write,
+              extra_inputs=(Variant.SOURCE,)),
     ], store=store)
 
 

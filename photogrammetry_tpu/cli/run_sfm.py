@@ -71,6 +71,10 @@ def main(argv=None) -> int:
     if args.restarts > 1 and args.checkpoint:
         ap.error("--restarts and --checkpoint conflict: restart selection "
                  "re-runs from scratch and cannot resume a snapshot")
+    if args.checkpoint and (args.keyframe_disp > 0 or args.submap_frames > 0):
+        ap.error("--checkpoint is only supported in the plain incremental "
+                 "mode: --keyframe-disp and --submap-frames runs take no "
+                 "snapshots (their state spans multiple sub-reconstructions)")
 
     import numpy as np
 
@@ -204,13 +208,18 @@ def main(argv=None) -> int:
                         else list(range(len(rs_out))))
                 if len(rows) == res.table.obs.shape[0]:
                     ridx = jnp.asarray(rows)
-                    pts_lc, _ = triangulate_nview(
+                    pts_lc, ok_lc = triangulate_nview(
                         res.table.obs, res.table.obs_mask,
                         rs_lc[ridx], ts_lc[ridx],
                         jnp.asarray(k, jnp.float32))
+                    # tracks whose retriangulation failed under the
+                    # corrected poses (behind-camera / out-of-depth) are
+                    # dropped from the map, not kept with stale points
+                    has_lc = res.table.has_point & ok_lc
                     res.table = res.table._replace(
-                        points=jnp.where(res.table.has_point[:, None],
-                                         pts_lc, res.table.points))
+                        points=jnp.where(has_lc[:, None],
+                                         pts_lc, res.table.points),
+                        has_point=has_lc)
                     # poses consistent with the corrected landmarks (the
                     # quality report below reprojects them)
                     res.rs, res.ts = rs_out, ts_out

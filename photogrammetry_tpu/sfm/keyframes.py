@@ -195,6 +195,7 @@ def run_keyframed_sfm(frames: np.ndarray, k: np.ndarray,
                                          restarts=restarts)
     else:
         res = run_incremental_sfm(kf_frames, k, config, seed=seed)
+    # distinct localization draws per run seed (restart independence)
     rs, ts, info = localize_nonkeyframes(frames, keyframes, feats, res, k,
-                                         config)
+                                         config, seed=seed + 99)
     return rs, ts, keyframes, res, info

@@ -158,22 +158,38 @@ def test_seed_robustness_p90():
     Measured 2026-08-21 (data/bench/seed_sweep.jsonl): single-run mean
     0.103 / p90 0.148 / max 0.622; best-of-3 via reconstruction_quality
     selection (support floor + min median reprojection error) gives mean
-    0.055 / p90 0.096 / max 0.105.  Bounds keep ~25% headroom."""
+    0.055 / p90 0.096 / max 0.105.  Bounds keep ~25% headroom.
+
+    Budget: the full 20-seed x 3-restart sweep is a ~60-reconstruction
+    workload (~10 min) that dominated the slow suite (VERDICT r3 weak #7);
+    the default run covers 6 seeds with per-seed bounds from the committed
+    distribution, and PHOTO_SEED_SWEEP=full restores the 20-seed
+    mean/p90 assertion."""
+    import os
+
     from photogrammetry_tpu.sfm.incremental import run_incremental_sfm_robust
 
+    full = os.environ.get("PHOTO_SEED_SWEEP", "") == "full"
+    seeds = range(20) if full else range(6)
     scene = generate_sequence(StarSceneConfig(num_frames=8, supersample=2))
     gt = scene["centers"].astype(np.float32)
     ates = []
-    for seed in range(20):
+    for seed in seeds:
         res = run_incremental_sfm_robust(scene["frames"], scene["k"],
                                          SfmConfig(), seed=seed, restarts=3)
         ates.append(float(absolute_trajectory_error(
             jnp.asarray(res.camera_centers.astype(np.float32)),
             jnp.asarray(gt))))
-    mean = float(np.mean(ates))
-    p90 = float(np.percentile(ates, 90))
-    assert mean < 0.075, f"mean ATE {mean} (ates={ates})"
-    assert p90 < 0.12, f"p90 ATE {p90} (ates={ates})"
+    if full:
+        mean = float(np.mean(ates))
+        p90 = float(np.percentile(ates, 90))
+        assert mean < 0.075, f"mean ATE {mean} (ates={ates})"
+        assert p90 < 0.12, f"p90 ATE {p90} (ates={ates})"
+    else:
+        # committed 20-seed max for best-of-3 is 0.105; every sampled seed
+        # must stay under that with headroom
+        assert max(ates) < 0.15, f"ATE regression (ates={ates})"
+        assert float(np.mean(ates)) < 0.09, f"mean ATE (ates={ates})"
 
 
 @pytest.mark.slow
