@@ -15,15 +15,17 @@ synthetic noise — noise saturates NMS with dense detections and measures a
 workload the reference never ran (VERDICT r2; measured noise-vs-real gap at
 capacity 2048 is 5.4x, scripts/bench_frontend_variants.py).
 
-Measurement methodology (round 4 — fixes the 2.5x fresh-process spread
-called out in VERDICT r3): a fixed 200-iteration one-shot loop measured
-only ~17 ms of wall clock and inherited whatever tunnel-dispatch state the
-process started in (observed fresh-process range 2.2k-22k fps for identical
-code).  Now the bench (a) warms up in 100-iter blocks until two consecutive
-blocks agree within 5% (steady state), then (b) times five 200-iter blocks
-and reports the MEDIAN block — robust to a transient stall in any one
-block.  Five fresh processes measured 11.1k-12.1k fps (+-5%) with this
-scheme; see BENCH_FULL.md for the distribution.
+Measurement methodology (round 4, replacing the irreproducible one-shot
+loop VERDICT r3 flagged): throughput is measured on the BATCHED split
+frontend at B=16 frames per dispatch — the production configuration (the
+incremental-SfM loop precomputes its whole sequence this way, and it is
+the form that shards over a device mesh).  Single-frame dispatch numbers
+are dominated by per-dispatch tunnel/host overhead and swing 9.4k-24k
+frames/s across fresh processes and time-of-day windows for identical
+code; at B=16 the device is the limiter and five fresh processes agree
+within +-7% (BENCH_FULL.md has both numbers and the distribution).
+Warmup runs blocks until two consecutive agree within 5%, then the median
+of five timed blocks is reported.
 """
 from __future__ import annotations
 
@@ -34,6 +36,7 @@ import time
 import numpy as np
 
 REFERENCE_FPS = 1.0 / 0.67  # keypoint_detection.py:157 (BASELINE.md)
+BATCH = 16
 
 
 def main() -> None:
@@ -51,7 +54,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from photogrammetry_tpu.sfm.frontend import (
-        FrontendConfig, detect_and_describe_split, make_pairs,
+        FrontendConfig, detect_and_describe_batch_split, make_pairs,
     )
 
     config = FrontendConfig(detection_threshold=50.0, max_keypoints=2048,
@@ -65,39 +68,45 @@ def main() -> None:
     img = cv2.imread("/root/reference/data/feature_detection_test/"
                      "straight_edge_1920x1080.jpg")
     frame = jnp.asarray(np.asarray(bgr_to_gray_cv2(img)), jnp.float32)
+    frames = jnp.asarray(jnp.broadcast_to(frame, (BATCH,) + frame.shape))
 
-    # The split frontend dispatches detect | brief | refine as three
-    # programs so each contains exactly one large image gather — XLA's
-    # fast vectorized gather lowering — instead of the ~400x slower serial
-    # lowering multi-gather programs receive (docs/tpu_notes.md).
-    def fn(im):
-        return detect_and_describe_split(im, pairs, config)
+    # The batched split frontend dispatches detect | brief | refine as
+    # three programs per 16-frame block so each contains exactly one large
+    # vmapped image gather — XLA's fast vectorized gather lowering
+    # (docs/tpu_notes.md §1).
+    def fn():
+        return detect_and_describe_batch_split(frames, pairs, config)
 
     def timed_block(iters: int) -> float:
         """Frames/s over one block (block_until_ready bookends)."""
-        out = fn(frame)
+        out = fn()
         jax.block_until_ready(out)
         start = time.perf_counter()
         for _ in range(iters):
-            out = fn(frame)
+            out = fn()
         jax.block_until_ready(out)
-        return iters / (time.perf_counter() - start)
+        return iters * BATCH / (time.perf_counter() - start)
 
     # compile / first-dispatch warmup
-    jax.block_until_ready(fn(frame))
+    jax.block_until_ready(fn())
 
-    # (a) steady-state gate: 100-iter blocks until two consecutive agree
-    # within 5% (tunnel dispatch state settles over the first O(1k) calls;
-    # capped at 30 blocks = 3000 iters so a noisy tunnel can't hang us).
-    prev = timed_block(100)
-    for _ in range(30):
-        cur = timed_block(100)
+    # (a) probe, then size blocks to ~0.25 s of device work each — blocks
+    # measuring only a few ms inherit dispatch-burst noise (observed 1.8x
+    # spread at 4 ms blocks for identical code)
+    probe = timed_block(25)
+    iters = max(25, int(0.25 * probe / BATCH))
+
+    # (b) steady-state gate: blocks until two consecutive agree within 5%
+    # (capped so a noisy tunnel can't hang the driver)
+    prev = timed_block(iters)
+    for _ in range(10):
+        cur = timed_block(iters)
         if abs(cur - prev) <= 0.05 * max(cur, prev):
             break
         prev = cur
 
-    # (b) measurement: median of five 200-iter blocks
-    fps = float(np.median([timed_block(200) for _ in range(5)]))
+    # (c) measurement: median of five ~0.25 s blocks
+    fps = float(np.median([timed_block(iters) for _ in range(5)]))
 
     print(json.dumps({
         "metric": "frontend_frames_per_s_per_chip_1920x1080",

@@ -28,6 +28,11 @@ def main(argv=None) -> int:
                     help="Sampson inlier threshold, pixels")
     ap.add_argument("--fx", type=float, default=None,
                     help="focal length in pixels (default 1.2*width)")
+    ap.add_argument("--motion-filter", action="store_true",
+                    help="GMS-style motion-smoothness prefilter on the "
+                         "matches before RANSAC (ops.match."
+                         "motion_consistency_mask) — raises the inlier "
+                         "ratio on repetitive-texture wide-baseline pairs")
     ap.add_argument("--cloud", default="test.ply")
     ap.add_argument("--plots", default=None,
                     help="prefix for depth-scatter PNGs (omit to skip)")
@@ -67,6 +72,12 @@ def main(argv=None) -> int:
         f1 = detect_and_describe_split(g1, pairs, config)
         f2 = detect_and_describe_split(g2, pairs, config)
         m = timer.block(match_pair(f1, f2, config))
+    if args.motion_filter:
+        from photogrammetry_tpu.ops.match import motion_consistency_mask
+
+        m = m._replace(mask=motion_consistency_mask(m.xy1, m.xy2, m.mask),
+                       num=None)
+        m = m._replace(num=jnp.sum(m.mask).astype(jnp.int32))
     with timer.stage("two_view"):
         # model="fundamental": this CLI mirrors the reference's exact
         # F-only driver (Program.cs:207-249); auto H/F arbitration lives

@@ -27,19 +27,30 @@ from jax.experimental.pallas import tpu as pltpu
 from photogrammetry_tpu.ops.fast import BORDER, MIN_CONSECUTIVE, RING_OFFSETS
 
 TILE_H = 64
+# column tile: bounds the VMEM live-set of the 32 shifted ring slices the
+# Mosaic scheduler keeps on its scoped stack (32 x TILE_H x W x 4 B grows
+# with W: 15.7 MB at W=1920 — just under the 16 MB scoped limit — and a
+# 30 MB OOM at the 12-MP lego photos' W=4096; observed round 4)
+TILE_W = 1024
 # halo of 4 (not the minimal 3): keeps DMA'd band rows 8-aligned
 HALO = 4
+# DMA'd column slices must be 128-lane aligned, so the band carries a full
+# extra 128 columns instead of 2*HALO ("Slice shape along dimension 1 must
+# be aligned to tiling (128)", Mosaic)
+COL_PAD = 128
 
 
-def _make_kernel(wp: int):
+def _make_kernel(tile_w: int):
     def kernel(thr_ref, img_hbm, out_ref):
         h = out_ref.shape[0]
         w = out_ref.shape[1]
         i = pl.program_id(0)
+        j = pl.program_id(1)
 
         def body(band, sem):
             copy = pltpu.make_async_copy(
-                img_hbm.at[pl.ds(i * TILE_H, TILE_H + 2 * HALO), :],
+                img_hbm.at[pl.ds(i * TILE_H, TILE_H + 2 * HALO),
+                           pl.ds(j * tile_w, tile_w + COL_PAD)],
                 band, sem)
             copy.start()
             copy.wait()
@@ -65,7 +76,7 @@ def _make_kernel(wp: int):
 
         pl.run_scoped(
             body,
-            pltpu.VMEM((TILE_H + 2 * HALO, wp), jnp.float32),
+            pltpu.VMEM((TILE_H + 2 * HALO, tile_w + COL_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         )
 
@@ -80,26 +91,36 @@ def fast_score_map_pallas(image: jnp.ndarray, threshold,
     img = image.astype(jnp.float32)
 
     pad_h = (-h) % TILE_H
-    pad_w = (-(w + 2 * HALO)) % 128
-    padded = jnp.pad(img, ((HALO, HALO + pad_h), (HALO, HALO + pad_w)))
     hp = h + pad_h
-    wp = w + 2 * HALO + pad_w
+    # Column tiling: out width padded to a TILE_W multiple (tile_w is a
+    # 128 multiple, so out blocks and DMA column starts are lane-aligned);
+    # the input carries COL_PAD extra columns so every band's halo fits.
+    # Adaptive: a full-width single band is fastest (splitting 1920 into
+    # two 1024 tiles measured ~2x slower end-to-end — per-tile overhead
+    # dominates at TILE_H=64), and is hardware-proven up to w=1920; only
+    # wider frames (where the full band OOMs the 16 MB scoped VMEM) pay
+    # the column split.
+    w128 = ((w + 127) // 128) * 128
+    tile_w = w128 if w128 <= 1920 else TILE_W
+    w_out = ((w + tile_w - 1) // tile_w) * tile_w
+    padded = jnp.pad(img, ((HALO, HALO + pad_h),
+                           (HALO, (w_out - w) + COL_PAD - HALO)))
     thr = jnp.full((1,), threshold, jnp.float32)
 
     out = pl.pallas_call(
-        _make_kernel(wp),
-        out_shape=jax.ShapeDtypeStruct((hp, w), jnp.int32),
-        grid=(hp // TILE_H,),
+        _make_kernel(tile_w),
+        out_shape=jax.ShapeDtypeStruct((hp, w_out), jnp.int32),
+        grid=(hp // TILE_H, w_out // tile_w),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold scalar
             pl.BlockSpec(memory_space=pltpu.ANY),   # image stays in HBM
         ],
-        out_specs=pl.BlockSpec((TILE_H, w), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TILE_H, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(thr, padded)
 
-    score = out[:h, :]
+    score = out[:h, :w]
     rows = jnp.arange(h)[:, None]
     cols = jnp.arange(w)[None, :]
     interior = ((rows >= BORDER) & (rows < h - BORDER)

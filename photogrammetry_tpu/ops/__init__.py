@@ -6,6 +6,7 @@ from photogrammetry_tpu.ops.match import (
     mutual_nearest_matches,
     greedy_global_matches,
     sorted_candidate_matches,
+    motion_consistency_mask,
 )
 from photogrammetry_tpu.ops.nms import anms_keypoints, nms_keypoints
 from photogrammetry_tpu.ops.dewarp import (

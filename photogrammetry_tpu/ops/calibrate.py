@@ -19,9 +19,10 @@ TPU-native design — every stage is a fixed-shape jitted program:
     static-shape convention), peak picking by top-k with a suppression
     window;
   * model fit: Levenberg-Marquardt over the (5,) coefficient vector with
-    residuals = point-to-line distances after undistortion (the same
-    closed-form cubic inversion the dewarp pipeline uses,
-    ops/dewarp.py:34), Jacobian by autodiff, static iteration count,
+    residuals = point-to-line distances after undistortion (the direct
+    forward evaluation rd = r * f(r) — the same direction the image
+    dewarp moves content, so fitted coefficients drop straight into
+    generate_distortion_map), Jacobian by autodiff, static iteration count,
     per-line best-fit lines recomputed in closed form (2x2 eigen problem)
     inside every residual evaluation.
 
@@ -41,11 +42,20 @@ from photogrammetry_tpu.ops.dewarp import solve_undistorted_radius
 _EPS = 1e-12
 
 
-def distort_points(xy: jnp.ndarray, coeffs: jnp.ndarray,
-                   center: jnp.ndarray) -> jnp.ndarray:
-    """Forward model: undistorted (..., 2) (row, col) -> distorted points.
+def undistort_points(xy: jnp.ndarray, coeffs: jnp.ndarray,
+                     center: jnp.ndarray) -> jnp.ndarray:
+    """Captured (distorted) (..., 2) (row, col) points -> undistorted.
 
-    Direct evaluation of rd = r * f(r) (no root solve needed forward).
+    Direction convention (round 4 — this and ``distort_points`` were
+    swapped before, which made calibrate->dewarp round trips on genuinely
+    distorted photos inconsistent): the reference's camera has barrel
+    distortion, so its dewarp EXPANDS content — a feature captured at
+    sensor radius r appears at radius rd = r * f(r) in the dewarped image
+    (generate_distortion_map samples output pixel rd from source
+    solve(rd); warping.py:149-161).  Undistorting a captured point is
+    therefore the direct forward evaluation rd = r * f(r) — no root solve,
+    closed form, cheaply differentiable (this is what the plumb-line fit
+    iterates).
     """
     coeffs = jnp.asarray(coeffs, jnp.float32)
     k1, k2, k3, k4, k5 = (coeffs[i] for i in range(5))
@@ -56,9 +66,9 @@ def distort_points(xy: jnp.ndarray, coeffs: jnp.ndarray,
     return center + d * f[..., None]
 
 
-def _undistorted_radius_diff(rd: jnp.ndarray, coeffs: jnp.ndarray,
-                             newton_steps: int = 2) -> jnp.ndarray:
-    """Differentiable inverse radius.
+def _inverse_radius_diff(rd: jnp.ndarray, coeffs: jnp.ndarray,
+                         newton_steps: int = 2) -> jnp.ndarray:
+    """Differentiable inverse radius (undistorted rd -> captured r).
 
     The closed-form cubic solve (trig/Cardano branches) produces NaN
     cotangents under autodiff, so the root is taken under stop_gradient and
@@ -81,13 +91,16 @@ def _undistorted_radius_diff(rd: jnp.ndarray, coeffs: jnp.ndarray,
     return r
 
 
-def undistort_points(xy: jnp.ndarray, coeffs: jnp.ndarray,
-                     center: jnp.ndarray) -> jnp.ndarray:
-    """Inverse model: distorted (..., 2) -> undistorted, via the closed-form
-    cubic (ops/dewarp.py:34) with a differentiable Newton polish."""
+def distort_points(xy: jnp.ndarray, coeffs: jnp.ndarray,
+                   center: jnp.ndarray) -> jnp.ndarray:
+    """Undistorted (world) (..., 2) points -> captured (distorted), via the
+    closed-form cubic (ops/dewarp.py:34) with a differentiable Newton
+    polish.  This is the camera's own contraction (see undistort_points
+    for the direction convention); used to synthesize distorted fixtures
+    and project undistorted geometry back into captured frames."""
     d = xy - center
     rd = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
-    r = _undistorted_radius_diff(rd, jnp.asarray(coeffs, jnp.float32))
+    r = _inverse_radius_diff(rd, jnp.asarray(coeffs, jnp.float32))
     return center + d * (r / rd)[..., None]
 
 

@@ -141,6 +141,31 @@ def generate_distortion_map(height: int, width: int, coeffs,
     return jnp.stack([src_row, src_col], axis=-1)
 
 
+@partial(jax.jit, static_argnames=("height", "width"))
+def generate_synthetic_distortion_map(height: int, width: int,
+                                      coeffs) -> jnp.ndarray:
+    """(H, W, 2) map that SYNTHESIZES a distorted image from a clean one —
+    the exact inverse of the dewarp (generate_distortion_map): each output
+    (captured-frame) pixel at radius r samples the clean image at radius
+    r * f(r), so apply_distortion_map(clean, this) produces the image the
+    reference's camera would have captured of `clean`, and dewarping that
+    with generate_distortion_map(coeffs) recovers `clean`.  Used to build
+    ground-truth-distorted calibration fixtures from real photographs
+    (tests/test_real_photos.py)."""
+    coeffs = jnp.asarray(coeffs, jnp.float32)
+    k1, k2, k3, k4, k5 = (coeffs[i] for i in range(5))
+    x0 = height / 2.0
+    y0 = width / 2.0
+    u = jnp.arange(height, dtype=jnp.float32)[:, None]
+    v = jnp.arange(width, dtype=jnp.float32)[None, :]
+    x = (u - x0) * jnp.ones_like(v)
+    y = (v - y0) * jnp.ones_like(u)
+    r = jnp.sqrt(x * x + y * y)
+    f = (1.0 + k1 * r + k2 * r ** 2) / (1.0 + k3 * r + k4 * r ** 2
+                                        + k5 * r ** 3)
+    return jnp.stack([x * f + x0, y * f + y0], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("mode",))
 def apply_distortion_map(image: jnp.ndarray, dist_map: jnp.ndarray,
                          mode: str = "bilinear") -> jnp.ndarray:

@@ -233,6 +233,38 @@ def detect_and_describe_batch_split(grays: jnp.ndarray, pairs: jnp.ndarray,
                           xy=_xy_batch(grays, pts, config))
 
 
+def precompute_frontend(frames: jnp.ndarray, pairs: jnp.ndarray,
+                        config: FrontendConfig,
+                        chunk: int = 16) -> DescribedFrame:
+    """Whole-sequence frontend as a few batched programs: (F, H, W) frames
+    -> DescribedFrame with a leading F axis on every leaf.
+
+    The host-sequenced SfM loop previously uploaded each frame (~MBs over
+    a ~45 ms-RTT tunnel) and dispatched 3 detect programs per frame; one
+    stacked upload + ceil(F/chunk) batched (detect | brief | refine)
+    passes removes that per-frame host->device traffic entirely
+    (docs/tpu_notes.md §6).  ``chunk`` bounds peak HBM for long sequences;
+    the tail chunk is padded to the full chunk size so at most one
+    program shape compiles.  Index frame t with ``frame_features(f, t)``.
+    """
+    f = frames.shape[0]
+    chunk = max(1, min(chunk, f))
+    outs = []
+    for s in range(0, f, chunk):
+        blk = frames[s:s + chunk]
+        if blk.shape[0] < chunk:  # pad tail to the compiled shape
+            reps = jnp.repeat(blk[-1:], chunk - blk.shape[0], axis=0)
+            blk = jnp.concatenate([blk, reps], axis=0)
+        outs.append(detect_and_describe_batch_split(blk, pairs, config))
+    cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:f], *outs)
+    return cat
+
+
+def frame_features(feats: DescribedFrame, t) -> DescribedFrame:
+    """Select frame ``t`` from a precomputed (F-leading) DescribedFrame."""
+    return jax.tree.map(lambda x: x[t], feats)
+
+
 class MatchedPair(NamedTuple):
     xy1: jnp.ndarray    # (K, 2) float32 (x, y) pixel coords in frame 1
     xy2: jnp.ndarray    # (K, 2)

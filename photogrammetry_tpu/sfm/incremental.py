@@ -24,7 +24,8 @@ import numpy as np
 
 from photogrammetry_tpu.sfm.ba import BAProblem, BAState, bundle_adjust, project
 from photogrammetry_tpu.sfm.frontend import (
-    FrontendConfig, detect_and_describe_split, make_pairs, match_pair,
+    FrontendConfig, detect_and_describe_split, frame_features, make_pairs,
+    match_pair, precompute_frontend,
 )
 from photogrammetry_tpu.sfm.tracks import (
     TrackTable, extend_tracks_with_tid, first_last_observations,
@@ -100,6 +101,9 @@ class SfmConfig:
     # psum-Schur step with tracks sharded over its "tracks" axis
     # (track_capacity must divide the axis size).
     mesh: object = None
+    # Frames per batched-frontend program in the sequence precompute
+    # (frontend.precompute_frontend): bounds peak HBM on long sequences.
+    frontend_chunk: int = 16
 
 
 @jax.jit
@@ -424,6 +428,13 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
     frame_info = []
     start_frame = 1
 
+    # ONE stacked host->device upload + a few batched (detect|brief|refine)
+    # programs for the whole sequence: the per-frame upload (~1 MB over the
+    # ~45 ms-RTT tunnel) plus 3 detect dispatches per frame previously
+    # dominated the steady-state loop (docs/tpu_notes.md §6).
+    feats = precompute_frontend(jnp.asarray(frames, jnp.float32), pairs, fc,
+                                chunk=config.frontend_chunk)
+
     import os
 
     if checkpoint_path and resume and os.path.isfile(checkpoint_path):
@@ -433,8 +444,7 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
         if done + 1 >= num_frames:
             return SfmResult(rs, ts, table, costs, frame_info)
         start_frame = done + 1
-        prev = detect_and_describe_split(jnp.asarray(frames[done], jnp.float32),
-                                   pairs, fc)
+        prev = frame_features(feats, done)
         # restore the kp->track mapping of the resumed frame by re-matching
         # its keypoints against the stored observation row
         obs_row = table.obs[done]
@@ -447,8 +457,7 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
             kp_track=jnp.where(ok, nearest, -1).astype(jnp.int32))
         map_ready = bool(jnp.any(table.has_point))
     else:
-        prev = detect_and_describe_split(jnp.asarray(frames[0], jnp.float32),
-                                   pairs, fc)
+        prev = frame_features(feats, 0)
         table = start_tracks(table, jnp.int32(0), prev.xy, prev.points.mask)
         map_ready = False
 
@@ -456,8 +465,7 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
     kp_track_prev2 = None   # frame t-2 keypoint -> track id snapshot
 
     for t in range(start_frame, num_frames):
-        cur = detect_and_describe_split(jnp.asarray(frames[t], jnp.float32),
-                                  pairs, fc)
+        cur = frame_features(feats, t)
         m = match_pair(cur, prev, fc)  # rows = current frame's keypoints
         # Epipolar gating: only RANSAC-inlier matches may chain tracks
         # (outlier matches would switch track identities and poison BA).

