@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from photogrammetry_tpu.core.camera import to_homogeneous
-from photogrammetry_tpu.sfm.epipolar import normalization_transform
+from photogrammetry_tpu.sfm.epipolar import (
+    _nullvec_sym_fast, normalization_transform,
+)
 
 
 def _smallest_eigvec_sym9(a: jnp.ndarray) -> jnp.ndarray:
@@ -34,7 +36,8 @@ def _smallest_eigvec_sym9(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def dlt_homography(xy1: jnp.ndarray, xy2: jnp.ndarray,
-                   weights: jnp.ndarray | None = None) -> jnp.ndarray:
+                   weights: jnp.ndarray | None = None,
+                   exact: bool = True) -> jnp.ndarray:
     """Normalized DLT estimate of H with x2 ~ H x1.
 
     xy1, xy2: (N, 2); weights: optional (N,) row weights (0 excludes).
@@ -58,7 +61,10 @@ def dlt_homography(xy1: jnp.ndarray, xy2: jnp.ndarray,
                     -y2 * x1, -y2 * y1, -y2], axis=-1)
     a = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)
     gram = a.T @ a
-    h = _smallest_eigvec_sym9(gram).reshape(3, 3)
+    # exact=False (the vmapped RANSAC-hypothesis path) swaps the batched
+    # eigh for inverse iteration — see epipolar.eight_point_fundamental
+    h = (_smallest_eigvec_sym9(gram) if exact
+         else _nullvec_sym_fast(gram)).reshape(3, 3)
     h = jnp.linalg.solve(t2, h) @ t1  # denormalize: T2^-1 H T1
     return h / jnp.maximum(jnp.linalg.norm(h), 1e-12)
 
@@ -102,7 +108,8 @@ def ransac_homography(key: jax.Array, xy1: jnp.ndarray, xy2: jnp.ndarray,
     keys = jax.random.split(key, num_samples)
     sample_idx = jax.vmap(draw)(keys)
 
-    hs = jax.vmap(lambda idx: dlt_homography(xy1[idx], xy2[idx]))(sample_idx)
+    hs = jax.vmap(lambda idx: dlt_homography(xy1[idx], xy2[idx],
+                                             exact=False))(sample_idx)
 
     def score(h):
         return jnp.sum((homography_residuals(h, xy1, xy2) <= threshold)

@@ -104,6 +104,20 @@ class SfmConfig:
     # Frames per batched-frontend program in the sequence precompute
     # (frontend.precompute_frontend): bounds peak HBM on long sequences.
     frontend_chunk: int = 16
+    # Fused per-frame steady-state step (_make_steady_step): ONE program
+    # per frame instead of ~20.  None = auto (on when per-frame
+    # diagnostics, checkpointing and the mesh path are all off — those
+    # need the staged loop's per-stage boundaries).  Bit-identical to the
+    # staged path (same ops, same RNG order).
+    fused_steady_steps: bool | None = None
+    # Zero device->host reads before the final export: the tunnel
+    # toolchain permanently degrades a process to ~17 ms/dispatch after
+    # its FIRST readback of any size (docs/tpu_notes.md §3, round 4), so
+    # the adaptive bootstrap trigger's per-deferred-frame displacement
+    # read is replaced by a fixed bootstrap at min(bootstrap_max_defer,
+    # F-1) — usually the same frame the adaptive rule picks on low-
+    # parallax starts, and more parallax (not less) when it differs.
+    read_free: bool = False
 
 
 @jax.jit
@@ -319,10 +333,14 @@ def _bootstrap_map(key, table: TrackTable, rs, ts, kmat, config: "SfmConfig",
     pair_mask = pair_mask.at[0].set(table.obs_mask[0])
     pair_mask = pair_mask.at[t].set(table.obs_mask[t])
     both = table.obs_mask[0] & table.obs_mask[t]
+    attempts = max(1, config.bootstrap_attempts)
 
-    candidates = []
-    for _ in range(max(1, config.bootstrap_attempts)):
-        key, sub = jax.random.split(key)
+    def attempt(sub):
+        """One full bootstrap candidate: two-view -> triangulate -> PnP
+        intermediates -> BA -> arbitration scalars.  vmapped over attempt
+        keys (round 4): the 4 sequential attempts were ~200 ms of the
+        8-frame run's ~0.9 s device time; one batched program runs them
+        together."""
         tv = two_view_pipeline(sub, table.obs[t], table.obs[0], both, kmat,
                                threshold=config.ransac_threshold,
                                num_samples=config.ransac_samples)
@@ -335,15 +353,13 @@ def _bootstrap_map(key, table: TrackTable, rs, ts, kmat, config: "SfmConfig",
             table._replace(obs_mask=pair_mask), rs_c, ts_c, kmat,
             config.min_depth, config.max_depth)
         cand = cand._replace(obs_mask=table.obs_mask)
-        # PnP the intermediate frames off the fresh landmarks.  The
-        # support gate is a device-side cond (key splits only when PnP
-        # actually runs, matching the host logic's RNG stream exactly) —
-        # a host read here costs a tunnel RTT per intermediate per attempt
-        # and dominated bootstrap latency (docs/tpu_notes.md §3).
+        # PnP the intermediate frames off the fresh landmarks (support
+        # gate is a device-side cond; under vmap it lowers to select).
+        k = sub
         for i in range(1, t):
             pnp_mask = cand.obs_mask[i] & cand.has_point
-            key, r_i, t_i = _pnp_init_device(
-                key, cand.points, cand.obs[i], pnp_mask, kmat,
+            k, r_i, t_i = _pnp_init_device(
+                k, cand.points, cand.obs[i], pnp_mask, kmat,
                 rs_c[i], ts_c[i],
                 min_inliers=config.min_pnp_inliers,
                 threshold=config.pnp_threshold,
@@ -365,18 +381,23 @@ def _bootstrap_map(key, table: TrackTable, rs, ts, kmat, config: "SfmConfig",
         support_d = jnp.sum(jnp.sum(okobs, axis=0) >= 2)
         mean_err_d = (jnp.sum(jnp.where(okobs, err, 0.0))
                       / jnp.maximum(jnp.sum(okobs), 1))
-        candidates.append((support_d, mean_err_d, res.state.rs, res.state.ts,
-                           cand._replace(points=res.state.points)))
-    # ONE batched readback for the arbitration scalars of all attempts
-    quals = jax.device_get(jnp.stack(
-        [jnp.stack([c[0].astype(jnp.float32), c[1]]) for c in candidates]))
-    scored = [(int(q[0]), float(q[1]), c[2], c[3], c[4])
-              for q, c in zip(quals, candidates)]
-    smax = max(c[0] for c in scored)
-    support, _, rs, ts, table = min(
-        (c for c in scored if c[0] >= 0.9 * smax),
-        key=lambda c: c[1])
-    return rs, ts, table, support
+        return (support_d, mean_err_d, res.state.rs, res.state.ts,
+                res.state.points, cand.has_point)
+
+    key, *subs = jax.random.split(key, attempts + 1)
+    sup_a, err_a, rs_a, ts_a, pts_a, hp_a = jax.vmap(attempt)(
+        jnp.stack(subs))
+    # Arbitration on device: among candidates whose support is within 10%
+    # of the best, lowest mean supported reprojection error wins.
+    smax = jnp.max(sup_a)
+    near = sup_a >= 0.9 * smax.astype(jnp.float32)
+    pick = jnp.argmin(jnp.where(near, err_a, jnp.inf))
+    rs, ts = rs_a[pick], ts_a[pick]
+    table = table._replace(points=pts_a[pick], has_point=hp_a[pick])
+    # support stays a device scalar: ANY readback here would permanently
+    # flip the process to sync dispatch (docs/tpu_notes.md §3); the caller
+    # converts it after the final export
+    return rs, ts, table, sup_a[pick]
 
 
 class SfmResult:
@@ -464,7 +485,25 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
     prev2 = None            # features of frame t-2
     kp_track_prev2 = None   # frame t-2 keypoint -> track id snapshot
 
+    use_fused = config.fused_steady_steps
+    if use_fused is None:
+        use_fused = (not config.collect_diagnostics
+                     and checkpoint_path is None and config.mesh is None)
+    steady_step = (_make_steady_step(config, num_frames) if use_fused
+                   else None)
+    pending_support = None  # device scalar, converted after final export
+
     for t in range(start_frame, num_frames):
+        if (steady_step is not None and map_ready and t >= 2
+                and kp_track_prev2 is not None):
+            carry = (table, rs, ts, key, kp_track_prev2)
+            (table, rs, ts, key, kp_track_prev2), cost = steady_step(
+                feats, kmat, carry, jnp.int32(t))
+            costs.append(cost)
+            frame_info.append({"frame": t, "pose_init": "fused_step"})
+            prev2 = prev
+            prev = frame_features(feats, t)
+            continue
         cur = frame_features(feats, t)
         m = match_pair(cur, prev, fc)  # rows = current frame's keypoints
         # Epipolar gating: only RANSAC-inlier matches may chain tracks
@@ -499,30 +538,43 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                         chained=int(jnp.sum(tid >= 0)))
 
         if not map_ready:
-            both = table.obs_mask[0] & table.obs_mask[t]
-            # one fused scalar read (each read costs a tunnel RTT):
-            # median displacement, 0 when fewer than 16 shared tracks
-            disp_d = jnp.where(
-                jnp.sum(both) >= 16,
-                jnp.nanmedian(jnp.where(
-                    both,
-                    jnp.linalg.norm(table.obs[t] - table.obs[0], axis=-1),
-                    jnp.nan)),
-                0.0)
-            disp = float(disp_d)
             force = (t == num_frames - 1) or (t >= config.bootstrap_max_defer)
-            if disp >= config.bootstrap_min_disp_px or force:
+            if config.read_free:
+                # zero-read trigger: bootstrap at the fixed max-defer
+                # frame (any device->host read permanently flips this
+                # process to sync dispatch — see SfmConfig.read_free)
+                disp = None
+                trigger = force
+            else:
+                both = table.obs_mask[0] & table.obs_mask[t]
+                # one fused scalar read (each read costs a tunnel RTT):
+                # median displacement, 0 when fewer than 16 shared tracks
+                disp_d = jnp.where(
+                    jnp.sum(both) >= 16,
+                    jnp.nanmedian(jnp.where(
+                        both,
+                        jnp.linalg.norm(table.obs[t] - table.obs[0],
+                                        axis=-1),
+                        jnp.nan)),
+                    0.0)
+                disp = float(disp_d)
+                trigger = disp >= config.bootstrap_min_disp_px or force
+            if trigger:
                 key, sub = jax.random.split(key)
                 rs, ts, table, support = _bootstrap_map(
                     sub, table, rs, ts, kmat, config, t, num_frames)
                 map_ready = True
-                info.update(pose_init="bootstrap", bootstrap_pair=(0, t),
-                            bootstrap_disp_px=round(disp, 1),
-                            bootstrap_support=support)
+                info.update(pose_init="bootstrap", bootstrap_pair=(0, t))
+                if disp is not None:
+                    info["bootstrap_disp_px"] = round(disp, 1)
+                # support is a device scalar; converted after the final
+                # export so the loop stays read-free
+                pending_support = (info, support)
             else:
                 # keep accumulating tracks poseless
-                info.update(pose_init="deferred",
-                            bootstrap_disp_px=round(disp, 1))
+                info.update(pose_init="deferred")
+                if disp is not None:
+                    info["bootstrap_disp_px"] = round(disp, 1)
                 frame_info.append(info)
                 prev2, kp_track_prev2 = prev, kp_track_prev
                 prev = cur
@@ -686,6 +738,9 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
     # sequential np.asarray/float() calls each pay the tunnel RTT.
     rs_h, ts_h, costs_h = jax.device_get(
         (rs, ts, jnp.stack(costs) if costs else jnp.zeros((0,))))
+    if pending_support is not None:
+        info_d, support_d = pending_support
+        info_d["bootstrap_support"] = int(support_d)
     return SfmResult(rs_h, ts_h, table, [float(c) for c in costs_h],
                      frame_info)
 
@@ -762,23 +817,26 @@ def run_incremental_sfm_robust(frames: np.ndarray, k: np.ndarray,
     return best[2]
 
 
-def _make_steady_scan(config: SfmConfig, num_frames: int, t0: int):
-    """One jitted lax.scan covering steady-state frames t0..num_frames-1.
+def _make_steady_step(config: SfmConfig, num_frames: int):
+    """The fused per-frame steady-state body as ONE jitted program.
 
-    The host loop's per-frame body (match -> gate -> chain -> extend ->
-    PnP-rescue cond -> motion-only BA -> reassociate -> triangulate ->
-    windowed BA -> rescale -> prune) contains no host decisions once the
-    map is bootstrapped, so the whole remainder of the sequence runs as a
-    single device program: ONE dispatch and zero readbacks however long
-    the sequence is (docs/tpu_notes.md §6).  RNG splits replicate the host
-    loop order exactly (gate, skip-gate, conditional PnP), so fused and
-    host modes produce identical trajectories.
+    match -> gate -> skip-match -> chain -> extend -> PnP-rescue cond ->
+    motion-only BA -> reassociate -> triangulate -> windowed BA ->
+    rescale -> prune, with the frame index ``t`` traced (one compile
+    covers every frame).  Replaces ~20 separate dispatches per steady
+    frame in the host loop — decisive on the tunnel toolchain, where a
+    single device->host readback anywhere in the process permanently
+    flips dispatch to a synchronous ~17 ms/program mode (measured round
+    4; docs/tpu_notes.md §3): even poisoned, a fused step costs one
+    period instead of twenty.  RNG split order matches the staged path
+    exactly, so staged/fused/scan produce bit-identical results.
+
+    Requires t >= 2 (uses frames t-1 and t-2).
     """
     fc = config.frontend
 
     @partial(jax.jit, static_argnames=())
-    def run(feats, kmat, table, rs, ts, key, kp_track_prev2):
-      def step(carry, t):
+    def step(feats, kmat, carry, t):
         table, rs, ts, key, kp_track_prev2 = carry
 
         def frame_at(i):
@@ -869,10 +927,29 @@ def _make_steady_scan(config: SfmConfig, num_frames: int, t0: int):
         table = _prune_observations(table, rs, ts, kmat, config.prune_px)
         return (table, rs, ts, key, kp_track_prev), res.cost
 
-      ts_idx = jnp.arange(t0, num_frames)
-      carry, costs = jax.lax.scan(
-          step, (table, rs, ts, key, kp_track_prev2), ts_idx)
-      return carry, costs
+    return step
+
+
+def _make_steady_scan(config: SfmConfig, num_frames: int, t0: int):
+    """One jitted lax.scan covering steady-state frames t0..num_frames-1.
+
+    The per-frame body is _make_steady_step's program; the whole remainder
+    of the sequence runs as a single device program: ONE dispatch and zero
+    readbacks however long the sequence is (docs/tpu_notes.md §6).  RNG
+    splits replicate the host loop order exactly, so fused and host modes
+    produce identical trajectories.  (Measured on the tunnel: the scan
+    form's one giant program has ~3.4 s device time for 6 frames — slower
+    than per-frame fused steps; kept for gather-healthy runtimes.)
+    """
+    step = _make_steady_step(config, num_frames)
+
+    @partial(jax.jit, static_argnames=())
+    def run(feats, kmat, table, rs, ts, key, kp_track_prev2):
+        ts_idx = jnp.arange(t0, num_frames)
+        carry, costs = jax.lax.scan(
+            lambda c, t: step(feats, kmat, c, t),
+            (table, rs, ts, key, kp_track_prev2), ts_idx)
+        return carry, costs
 
     return run
 
@@ -980,7 +1057,7 @@ def run_incremental_sfm_fused(frames: np.ndarray, k: np.ndarray,
             t_boot = t
             frame_info.append({"frame": t, "pose_init": "bootstrap",
                                "bootstrap_pair": (0, t),
-                               "bootstrap_support": support})
+                               "bootstrap_support": int(support)})
             # bootstrap frame tail (same as host loop, honoring the
             # configured triangulation path)
             if config.nview_triangulation:
