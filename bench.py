@@ -10,22 +10,23 @@ stage does strictly more work per frame: FAST + score extraction + NMS +
 subpixel refinement + 256-bit BRIEF for up to 2048 keypoints.
 
 Input: the committed real 1080p frame
-(reference data/feature_detection_test/straight_edge_1920x1080.jpg), not
-synthetic noise — noise saturates NMS with dense detections and measures a
-workload the reference never ran (VERDICT r2; measured noise-vs-real gap at
-capacity 2048 is 5.4x, scripts/bench_frontend_variants.py).
+(reference data/feature_detection_test/straight_edge_1920x1080.jpg).
 
-Measurement methodology (round 4, replacing the irreproducible one-shot
-loop VERDICT r3 flagged): throughput is measured on the BATCHED split
-frontend at B=16 frames per dispatch — the production configuration (the
-incremental-SfM loop precomputes its whole sequence this way, and it is
-the form that shards over a device mesh).  Single-frame dispatch numbers
-are dominated by per-dispatch tunnel/host overhead and swing 9.4k-24k
-frames/s across fresh processes and time-of-day windows for identical
-code; at B=16 the device is the limiter and five fresh processes agree
-within +-7% (BENCH_FULL.md has both numbers and the distribution).
-Warmup runs blocks until two consecutive agree within 5%, then the median
-of five timed blocks is reported.
+MEASUREMENT PROTOCOL (round 4 — supersedes every earlier number).  On the
+axon tunnel runtime, ``jax.block_until_ready`` returns BEFORE execution
+completes (measured: a 2.1 GB elementwise add "blocks" in 0.5 ms but takes
+~1.4 s when forced by a value read), so every prior round's headline
+(8.8k-187k "frames/s") measured host dispatch rate, not device throughput.
+The only sound barrier on this toolchain is reading a value derived from
+the last output — in-order execution was verified (N independent enqueues
++ one last-output read costs the same as an N-long dependency chain).
+This bench therefore: (1) performs one scalar read up-front, putting the
+process in the deterministic synchronous-dispatch mode (measured FASTER
+than the async mode end-to-end and far less variable); (2) times blocks of
+calls each terminated by a forcing read of the final output; (3) gates on
+two consecutive blocks within 5% and reports the median of five blocks.
+True throughput is ~42 frames/s/chip — the honest number; see
+BENCH_FULL.md for the full postmortem and roofline accounting.
 """
 from __future__ import annotations
 
@@ -36,7 +37,6 @@ import time
 import numpy as np
 
 REFERENCE_FPS = 1.0 / 0.67  # keypoint_detection.py:157 (BASELINE.md)
-BATCH = 16
 
 
 def main() -> None:
@@ -44,8 +44,6 @@ def main() -> None:
 
     import jax
 
-    # Persistent compilation cache: tunnel AOT compiles are slow (minutes)
-    # and occasionally degrade to >10 min; the cache makes reruns instant.
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -54,7 +52,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from photogrammetry_tpu.sfm.frontend import (
-        FrontendConfig, detect_and_describe_batch_split, make_pairs,
+        FrontendConfig, detect_and_describe_split, make_pairs,
     )
 
     config = FrontendConfig(detection_threshold=50.0, max_keypoints=2048,
@@ -68,44 +66,36 @@ def main() -> None:
     img = cv2.imread("/root/reference/data/feature_detection_test/"
                      "straight_edge_1920x1080.jpg")
     frame = jnp.asarray(np.asarray(bgr_to_gray_cv2(img)), jnp.float32)
-    frames = jnp.asarray(jnp.broadcast_to(frame, (BATCH,) + frame.shape))
+    _ = float(frame[0, 0])  # enter deterministic sync-dispatch mode
 
-    # The batched split frontend dispatches detect | brief | refine as
-    # three programs per 16-frame block so each contains exactly one large
-    # vmapped image gather — XLA's fast vectorized gather lowering
-    # (docs/tpu_notes.md §1).
-    def fn():
-        return detect_and_describe_batch_split(frames, pairs, config)
+    def fn(im):
+        return detect_and_describe_split(im, pairs, config)
 
     def timed_block(iters: int) -> float:
-        """Frames/s over one block (block_until_ready bookends)."""
-        out = fn()
-        jax.block_until_ready(out)
+        """Frames/s over one block, terminated by a FORCING value read
+        (block_until_ready is a no-op on this runtime)."""
+        out = fn(frame)
+        _ = float(out.bits[0, 0])
         start = time.perf_counter()
         for _ in range(iters):
-            out = fn()
-        jax.block_until_ready(out)
-        return iters * BATCH / (time.perf_counter() - start)
+            out = fn(frame)
+        _ = float(out.bits[0, 0])  # forces completion of all iters
+        return iters / (time.perf_counter() - start)
 
-    # compile / first-dispatch warmup
-    jax.block_until_ready(fn())
+    # compile warmup
+    out = fn(frame)
+    _ = float(out.bits[0, 0])
 
-    # (a) probe, then size blocks to ~0.25 s of device work each — blocks
-    # measuring only a few ms inherit dispatch-burst noise (observed 1.8x
-    # spread at 4 ms blocks for identical code)
-    probe = timed_block(25)
-    iters = max(25, int(0.25 * probe / BATCH))
-
-    # (b) steady-state gate: blocks until two consecutive agree within 5%
-    # (capped so a noisy tunnel can't hang the driver)
-    prev = timed_block(iters)
+    # steady-state gate: blocks until two consecutive agree within 5%
+    prev = timed_block(10)
     for _ in range(10):
-        cur = timed_block(iters)
+        cur = timed_block(10)
         if abs(cur - prev) <= 0.05 * max(cur, prev):
             break
         prev = cur
 
-    # (c) measurement: median of five ~0.25 s blocks
+    # measurement: median of five ~0.5 s blocks
+    iters = max(10, int(0.5 * prev))
     fps = float(np.median([timed_block(iters) for _ in range(5)]))
 
     print(json.dumps({
