@@ -32,7 +32,7 @@ from photogrammetry_tpu.ops.nms import (
     compact_points, nms_keypoints, nms_keypoints_parallel,
     nms_keypoints_static,
 )
-from photogrammetry_tpu.ops.refine import refine_subpixel
+from photogrammetry_tpu.ops.refine import refine_subpixel_dense
 from photogrammetry_tpu.utils.padding import PaddedPoints
 
 
@@ -133,7 +133,9 @@ def _xy(gray: jnp.ndarray, pts: PaddedPoints,
         config: FrontendConfig) -> jnp.ndarray:
     """(K, 2) float32 (x, y) keypoint coordinates, subpixel-refined."""
     if config.subpixel:
-        rc = refine_subpixel(gray, pts.coords)
+        # dense box-filter formulation: 25k gathered elements instead of
+        # 400k (the element-gather rate is the frontend's wall — §0)
+        rc = refine_subpixel_dense(gray, pts.coords)
         return jnp.stack([rc[:, 1], rc[:, 0]], axis=-1)
     return keypoints_to_xy(pts.coords)
 
