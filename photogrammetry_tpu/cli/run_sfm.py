@@ -59,6 +59,14 @@ def main(argv=None) -> int:
                          "(sfm/submaps.py): track capacity scales with "
                          "sequence length instead of one fixed table")
     ap.add_argument("--submap-overlap", type=int, default=4)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help=">0 runs every windowed/final bundle adjustment "
+                         "as the distributed psum-Schur step over a "
+                         "jax.sharding.Mesh of this many devices "
+                         "(parallel/dist_ba.py); tracks are sharded over "
+                         "the mesh axis. Use with "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count"
+                         "=N for a virtual CPU mesh, or real chips")
     ap.add_argument("--keyframe-disp", type=float, default=0.0,
                     help=">0 builds the map from displacement-gated "
                          "keyframes only (new keyframe every N px of "
@@ -129,9 +137,21 @@ def main(argv=None) -> int:
         cy = args.cy if args.cy is not None else h / 2
         k = np.array([[fx, 0, cx], [0, fx, cy], [0, 0, 1]], np.float32)
 
+    mesh = None
+    if args.mesh > 0:
+        import jax
+
+        from photogrammetry_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < args.mesh:
+            ap.error(f"--mesh {args.mesh} needs {args.mesh} devices; "
+                     f"only {len(jax.devices())} visible")
+        mesh = make_mesh(shape=(args.mesh,), axis_names=("tracks",),
+                         devices=jax.devices()[:args.mesh])
     cfg = SfmConfig(frontend=FrontendConfig(
         detection_threshold=args.detection_threshold, max_keypoints=512,
-        reduction="nms", suppression_radius=4.0, hamming_threshold=80))
+        reduction="nms", suppression_radius=4.0, hamming_threshold=80),
+        mesh=mesh)
     with timer.stage("sfm"):
         if args.keyframe_disp > 0:
             from photogrammetry_tpu.sfm.keyframes import run_keyframed_sfm
@@ -208,13 +228,19 @@ def main(argv=None) -> int:
                         else list(range(len(rs_out))))
                 if len(rows) == res.table.obs.shape[0]:
                     ridx = jnp.asarray(rows)
-                    pts_lc, ok_lc = triangulate_nview(
+                    pts_lc, depths_lc = triangulate_nview(
                         res.table.obs, res.table.obs_mask,
                         rs_lc[ridx], ts_lc[ridx],
                         jnp.asarray(k, jnp.float32))
                     # tracks whose retriangulation failed under the
-                    # corrected poses (behind-camera / out-of-depth) are
-                    # dropped from the map, not kept with stale points
+                    # corrected poses (behind-camera / out-of-depth in an
+                    # observing view) are dropped from the map, not kept
+                    # with stale points (same depth gate as
+                    # _triangulate_tracks_nview)
+                    ok_lc = jnp.all(
+                        jnp.where(res.table.obs_mask,
+                                  (depths_lc > 1e-3) & (depths_lc < 1e3),
+                                  True), axis=0)
                     has_lc = res.table.has_point & ok_lc
                     res.table = res.table._replace(
                         points=jnp.where(has_lc[:, None],
