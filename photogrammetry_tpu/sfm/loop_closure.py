@@ -208,7 +208,36 @@ def close_loops(features, rs, ts, k, config, key=None, min_gap: int = 3,
         min_support = min_matches
     bits = jnp.stack([f.bits for f in features])
     masks = jnp.stack([f.points.mask for f in features])
-    counts = pairwise_match_counts(bits, masks, config.hamming_threshold)
+    f_total = bits.shape[0]
+    if f_total <= 64:
+        counts = pairwise_match_counts(bits, masks, config.hamming_threshold)
+    else:
+        # Long sequences (round 4): the dense F^2 full-matching sweep is
+        # O(F^2 K^2 P) — fine at F<=60, hopeless at F=200+.  Two-stage
+        # place recognition: a bag-of-bits global descriptor per frame
+        # (masked mean of descriptor bits — one (F, P) matrix) ranks all
+        # pairs with a single F x F distance computation, then full
+        # mutual matching runs only on the best ``shortlist`` candidates
+        # per the same min_gap rule.
+        w = masks.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+        global_d = jnp.einsum("fkp,fk->fp", bits.astype(jnp.float32), w) \
+            / denom                                           # (F, P)
+        d2 = jnp.sum((global_d[:, None] - global_d[None]) ** 2, -1)
+        gap_ok = np.triu(np.ones((f_total, f_total), bool), k=min_gap)
+        d2_np = np.where(gap_ok, np.asarray(d2), np.inf)
+        shortlist = min(64, gap_ok.sum())
+        flat = np.argsort(d2_np.ravel())[:shortlist]
+        cand_pairs = [(int(i // f_total), int(i % f_total)) for i in flat
+                      if np.isfinite(d2_np.ravel()[i])]
+        counts = np.zeros((f_total, f_total), np.int32)
+        for i, j in cand_pairs:
+            d = hamming_distance_matrix(bits[i], bits[j], masks[i],
+                                        masks[j])
+            _, _, valid = mutual_nearest_matches(
+                d, config.hamming_threshold)
+            counts[i, j] = int(jnp.sum(valid))
+        counts = jnp.asarray(counts)
     pairs = detect_loop_closures(np.asarray(counts), min_gap=min_gap,
                                  min_matches=min_matches)
     if not pairs:

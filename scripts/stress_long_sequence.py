@@ -1,0 +1,77 @@
+"""Long-sequence stress (VERDICT r3 #5): 200+-frame full orbit through
+run_sfm --submap-frames --loop-closure; records ATE, fps, peak RSS to
+data/bench/long_sequence.json."""
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+import cv2
+
+
+def main(num_frames: int = 200):
+    from photogrammetry_tpu.cli.run_sfm import main as run_sfm
+    from photogrammetry_tpu.sfm.metrics import absolute_trajectory_error
+    from photogrammetry_tpu.synth.star_scene import (
+        StarSceneConfig, generate_orbit_sequence,
+    )
+
+    cfg = StarSceneConfig(num_frames=num_frames, image_size=(240, 320),
+                          focal=260.0, supersample=2)
+    t0 = time.time()
+    scene = generate_orbit_sequence(cfg, total_angle=6.283)
+    render_s = time.time() - t0
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        frames_dir = os.path.join(td, "frames")
+        os.makedirs(frames_dir)
+        for i, f in enumerate(scene["frames"]):
+            cv2.imwrite(os.path.join(frames_dir, f"{i:04d}.png"), f)
+        traj = os.path.join(td, "traj.json")
+        t0 = time.time()
+        run_sfm([frames_dir, "--fx", "260", "--cx", "160", "--cy", "120",
+                 "--detection-threshold", "20",
+                 "--submap-frames", "16", "--submap-overlap", "4",
+                 "--loop-closure", "--loop-min-gap", "24",
+                 "--loop-min-matches", "25",
+                 "--trajectory", traj,
+                 "--cloud", os.path.join(td, "cloud.ply")])
+        sfm_s = time.time() - t0
+        centers = np.asarray(json.loads(open(traj).read())["centers"],
+                             np.float32)
+
+    gt = jnp.asarray(scene["centers"].astype(np.float32))
+    ate = float(absolute_trajectory_error(jnp.asarray(centers), gt))
+    circumference = float(np.sum(np.linalg.norm(
+        np.diff(scene["centers"], axis=0), axis=1)))
+    out = {
+        "frames": num_frames,
+        "render_s": round(render_s, 1),
+        "sfm_s": round(sfm_s, 1),
+        "fps": round(num_frames / sfm_s, 3),
+        "ate": round(ate, 4),
+        "trajectory_length": round(circumference, 2),
+        "ate_pct_of_length": round(100 * ate / circumference, 2),
+        "peak_rss_gb": round(resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
+        "host": "cpu",
+    }
+    os.makedirs("data/bench", exist_ok=True)
+    with open("data/bench/long_sequence.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 200)
