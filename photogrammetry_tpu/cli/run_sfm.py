@@ -55,12 +55,17 @@ def main(argv=None) -> int:
     ap.add_argument("--loop-min-gap", type=int, default=3)
     ap.add_argument("--loop-min-matches", type=int, default=30)
     ap.add_argument("--loop-mode", default="rotation",
-                    choices=("rotation", "essential", "revisit"),
+                    choices=("rotation", "essential", "revisit",
+                             "revisit_sim3"),
                     help="loop-edge measurement: 'rotation' constrains "
                          "orientation only; 'essential' a full relative "
                          "pose at the current baseline; 'revisit' a "
                          "zero-baseline edge that pins revisit centers "
-                         "together (closes positional drift on orbits)")
+                         "together; 'revisit_sim3' additionally measures "
+                         "the relative SCALE at each revisit (median "
+                         "triangulated-depth ratio) and optimizes a "
+                         "Sim(3) pose graph — the monocular scale-drift "
+                         "corrector")
     ap.add_argument("--restarts", type=int, default=1,
                     help=">1 runs best-of-K restarts with ground-truth-free "
                          "quality selection (support + median reprojection "

@@ -196,6 +196,23 @@ def measure_loop_edges(features, rs, ts, k, loop_pairs, config, key,
     return out, support
 
 
+def _median_local_depth(features, rs, ts, k, frame: int, neighbor: int,
+                        config):
+    """Median two-view triangulated depth at ``frame`` (against a temporal
+    neighbor) under the current poses — the local metric scale probe used
+    to measure a loop edge's relative scale."""
+    from photogrammetry_tpu.sfm.frontend import match_pair
+    from photogrammetry_tpu.sfm.triangulate import triangulate_dlt
+
+    m = match_pair(features[frame], features[neighbor], config)
+    r_rel = rs[neighbor] @ rs[frame].T
+    t_rel = ts[neighbor] - r_rel @ ts[frame]
+    pts, _ = triangulate_dlt(m.xy1, m.xy2, r_rel, t_rel, k, k)
+    z = pts[:, 2]
+    ok = m.mask & (z > 1e-3) & (z < 1e3)
+    return float(jnp.nanmedian(jnp.where(ok, z, jnp.nan)))
+
+
 def close_loops(features, rs, ts, k, config, key=None, min_gap: int = 3,
                 min_matches: int = 30, num_iterations: int = 20,
                 mode: str = "rotation", loop_weight: float = 4.0,
@@ -256,8 +273,9 @@ def close_loops(features, rs, ts, k, config, key=None, min_gap: int = 3,
     if not pairs:
         return rs, ts, {"loop_edges": [], "rejected_edges": [],
                         "counts": np.asarray(counts)}
-    meas, inl = measure_loop_edges(features, rs, ts, k, pairs, config, key,
-                                   mode=mode)
+    meas, inl = measure_loop_edges(
+        features, rs, ts, k, pairs, config, key,
+        mode="revisit" if mode == "revisit_sim3" else mode)
     kept = [(p, z, s) for p, z, s in zip(pairs, meas, inl)
             if s >= min_support]
     rejected = [(p, s) for p, s in zip(pairs, inl) if s < min_support]
@@ -265,6 +283,59 @@ def close_loops(features, rs, ts, k, config, key=None, min_gap: int = 3,
         return rs, ts, {"loop_edges": [], "rejected_edges": rejected,
                         "counts": np.asarray(counts)}
     pairs, meas, inl = ([t[i] for t in kept] for i in range(3))
+    if mode == "revisit_sim3":
+        # Sim(3) loop closing (round 4): monocular submap chaining
+        # accumulates SCALE drift that no SE(3) correction can absorb (a
+        # scale-drifted trajectory keeps its spiral under any rigid
+        # correction).  Each revisit edge carries a MEASURED relative
+        # scale — the ratio of median triangulated scene depth at the two
+        # frames (the same scene at a revisit, so the estimated-depth
+        # ratio IS the accumulated relative scale) — and the Sim(3) graph
+        # distributes the log-scale correction over the trajectory.
+        # Validated exactly on synthetic drift: ATE 0.289 -> 0.0000 with
+        # the true scale (tests/test_pose_graph.py).
+        from photogrammetry_tpu.sfm.pose_graph import (
+            PoseGraphSim3, optimize_pose_graph_sim3, relative_pose,
+        )
+
+        rs_j = jnp.asarray(rs, jnp.float32)
+        ts_j = jnp.asarray(ts, jnp.float32)
+        n = rs_j.shape[0]
+        eds, zr_l, zt_l, zs_l, w_l = [], [], [], [], []
+        for t in range(n - 1):
+            zr, zt = relative_pose(rs_j[t], ts_j[t], rs_j[t + 1],
+                                   ts_j[t + 1])
+            eds.append((t, t + 1))
+            zr_l.append(zr)
+            zt_l.append(zt)
+            zs_l.append(1.0)
+            w_l.append(1.0)
+        scales_meas = []
+        for (i, j), (zr, _zt) in zip(pairs, meas):
+            di = _median_local_depth(features, rs_j, ts_j, k, i,
+                                     min(i + 1, n - 1) if i + 1 != j
+                                     else max(i - 1, 0), config)
+            dj = _median_local_depth(features, rs_j, ts_j, k, j,
+                                     max(j - 1, 0) if j - 1 != i
+                                     else min(j + 1, n - 1), config)
+            zs = float(np.clip(dj / max(di, 1e-9), 0.05, 20.0))
+            scales_meas.append(zs)
+            eds.append((i, j))
+            zr_l.append(jnp.asarray(zr))
+            zt_l.append(jnp.zeros(3))
+            zs_l.append(zs)
+            w_l.append(loop_weight * 10.0)
+        graph7 = PoseGraphSim3(
+            edges=jnp.asarray(eds, jnp.int32), z_rs=jnp.stack(zr_l),
+            z_ts=jnp.stack(zt_l), z_ss=jnp.asarray(zs_l, jnp.float32),
+            weights=jnp.asarray(w_l, jnp.float32))
+        res = optimize_pose_graph_sim3(rs_j, ts_j, graph7,
+                                       num_iterations=num_iterations)
+        return res.rs, res.ts, {"loop_edges": pairs, "inliers": inl,
+                                "rejected_edges": rejected,
+                                "counts": np.asarray(counts),
+                                "loop_scales": scales_meas,
+                                "cost": float(res.cost)}
     graph = build_pose_graph(rs, ts, pairs, meas, loop_weight=loop_weight)
     from photogrammetry_tpu.sfm.pose_graph import optimize_pose_graph
 

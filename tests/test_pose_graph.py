@@ -111,3 +111,81 @@ def test_perfect_graph_stays_put():
                               num_iterations=5)
     assert float(res.cost) < 1e-8
     np.testing.assert_allclose(np.asarray(res.rs), rs_gt, atol=1e-4)
+
+
+def test_sim3_recovers_scale_drift():
+    """Monocular scale drift (each odometry step's length inflated by a
+    compounding factor -> the circle becomes a spiral) cannot be fixed by
+    an SE(3) pose graph, but the Sim(3) graph with one zero-baseline
+    revisit edge recovers the circle."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from photogrammetry_tpu.sfm.metrics import absolute_trajectory_error
+    from photogrammetry_tpu.sfm.pose_graph import (
+        PoseGraph, PoseGraphSim3, optimize_pose_graph,
+        optimize_pose_graph_sim3, relative_pose,
+    )
+
+    n = 40
+    theta = np.linspace(0.0, 2 * np.pi, n)
+    centers_gt = np.stack([2 * np.cos(theta), 2 * np.sin(theta),
+                           np.zeros(n)], -1).astype(np.float32)
+    # world->cam rotations: yaw following the tangent (any smooth choice)
+    rs_gt = np.zeros((n, 3, 3), np.float32)
+    for t in range(n):
+        c, s = np.cos(theta[t]), np.sin(theta[t])
+        rs_gt[t] = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], np.float32)
+
+    # drift: step vectors scaled by a compounding 1.5%/step
+    gamma = 1.015
+    steps = np.diff(centers_gt, axis=0)
+    drift_steps = steps * (gamma ** np.arange(1, n))[:, None]
+    centers_d = np.concatenate([centers_gt[:1],
+                                centers_gt[0] + np.cumsum(drift_steps, 0)])
+    ts_d = np.einsum("nij,nj->ni", rs_gt, -centers_d).astype(np.float32)
+    rs = jnp.asarray(rs_gt)
+    ts = jnp.asarray(ts_d)
+
+    # odometry edges from the DRIFTED trajectory; one revisit loop edge
+    edges = [(t, t + 1) for t in range(n - 1)] + [(0, n - 1)]
+    zr, zt, zs, w = [], [], [], []
+    for i, j in edges[:-1]:
+        r, t = relative_pose(rs[i], ts[i], rs[j], ts[j])
+        zr.append(r); zt.append(t); zs.append(1.0); w.append(1.0)
+    r0n = jnp.asarray(rs_gt[n - 1] @ rs_gt[0].T)
+    # the loop edge carries the MEASURED relative scale (in production:
+    # the median triangulated-depth ratio at the two revisit frames) —
+    # with z_s = 1 the graph is told "no scale drift" and correctly does
+    # little (measured ATE 0.150); with the true scale it recovers the
+    # circle exactly
+    zr.append(r0n); zt.append(jnp.zeros(3))
+    zs.append(float(gamma ** (n - 1))); w.append(50.0)
+
+    g_se3 = PoseGraph(edges=jnp.asarray(edges, jnp.int32),
+                      z_rs=jnp.stack(zr), z_ts=jnp.stack(zt),
+                      weights=jnp.asarray(w, jnp.float32))
+    g_sim3 = PoseGraphSim3(edges=g_se3.edges, z_rs=g_se3.z_rs,
+                           z_ts=g_se3.z_ts,
+                           z_ss=jnp.asarray(zs, jnp.float32),
+                           weights=g_se3.weights)
+
+    gt = jnp.asarray(centers_gt)
+
+    def ate_of(rs_o, ts_o):
+        c = -jnp.einsum("nji,nj->ni", rs_o, ts_o)
+        return float(absolute_trajectory_error(c, gt))
+
+    ate_drift = ate_of(rs, ts)
+    res3 = optimize_pose_graph(rs, ts, g_se3, num_iterations=30)
+    ate_se3 = ate_of(res3.rs, res3.ts)
+    res7 = optimize_pose_graph_sim3(rs, ts, g_sim3, num_iterations=30)
+    ate_sim3 = ate_of(res7.rs, res7.ts)
+
+    # measured values: drift 0.289, SE3 0.205, Sim3 ~1e-5
+    assert ate_sim3 < 0.02 * ate_drift, (ate_drift, ate_se3, ate_sim3)
+    assert ate_sim3 < 0.1 * ate_se3, (ate_drift, ate_se3, ate_sim3)
+    # the recovered scale chain reproduces the compounding drift
+    s = np.asarray(res7.scales)
+    np.testing.assert_allclose(s[-1], gamma ** (n - 1), rtol=0.05)
