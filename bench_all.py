@@ -12,14 +12,22 @@ import time
 import numpy as np
 
 
-def timed(f, *a, iters=20):
+def _force(out):
+    """Forcing read: block_until_ready is a no-op on the tunnel runtime
+    (BENCH_FULL.md postmortem) — only a value read proves completion."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(f(*a))
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(jnp.asarray(leaf, jnp.float32))[0])
+
+
+def timed(f, *a, iters=20):
+    _force(f(*a))
     t = time.perf_counter()
     for _ in range(iters):
         out = f(*a)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t) / iters
 
 
