@@ -52,7 +52,13 @@ def main(argv=None) -> int:
     ap.add_argument("--loop-closure", action="store_true",
                     help="detect loop closures (MXU place recognition) and "
                          "optimize the pose graph after SfM")
-    ap.add_argument("--loop-min-gap", type=int, default=3)
+    ap.add_argument("--loop-min-gap", type=int, default=None,
+                    help="minimum frame separation for a loop candidate; "
+                         "default max(5, F//4) — temporally-near pairs "
+                         "share geometry by construction, and accepting "
+                         "them as 'loops' lets median-quality Procrustes "
+                         "edges fight the BA trajectory (measured: ATE "
+                         "0.03 -> 0.14 on an 8-frame pan with gap 3)")
     ap.add_argument("--loop-min-matches", type=int, default=30)
     ap.add_argument("--loop-mode", default="rotation",
                     choices=("rotation", "essential", "revisit",
@@ -211,20 +217,24 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         from photogrammetry_tpu.sfm.frontend import (
-            detect_and_describe_split, make_pairs,
+            frame_features, make_pairs, precompute_frontend,
         )
         from photogrammetry_tpu.sfm.loop_closure import close_loops
 
+        min_gap = (args.loop_min_gap if args.loop_min_gap is not None
+                   else max(5, len(frames) // 4))
         with timer.stage("loop_closure"):
             fpairs = make_pairs(cfg.frontend)
-            feats = [detect_and_describe_split(
-                jnp.asarray(f, jnp.float32), fpairs, cfg.frontend)
-                for f in frames]
+            stacked = precompute_frontend(
+                jnp.asarray(np.asarray(frames), jnp.float32), fpairs,
+                cfg.frontend, chunk=cfg.frontend_chunk)
+            feats = [frame_features(stacked, t)
+                     for t in range(len(frames))]
             rs_lc, ts_lc, lc_info = close_loops(
                 feats, jnp.asarray(rs_out, jnp.float32),
                 jnp.asarray(ts_out, jnp.float32), jnp.asarray(k),
                 cfg.frontend, key=jax.random.PRNGKey(7),
-                min_gap=args.loop_min_gap,
+                min_gap=min_gap,
                 min_matches=args.loop_min_matches,
                 mode=args.loop_mode)
             rs_out = np.asarray(rs_lc)

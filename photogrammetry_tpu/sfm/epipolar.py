@@ -92,12 +92,14 @@ def eight_point_fundamental(xy1: jnp.ndarray, xy2: jnp.ndarray,
     (0 excludes a correspondence — used for masked/refit paths).
     Returns (3, 3) rank-2 F (unit Frobenius scale).
 
-    exact=False is the vmapped RANSAC-hypothesis path: the Gram null
-    vector comes from inverse iteration (batched LU solves, alignment to
-    the eigh vector < 4e-7) instead of the far costlier batched 9x9
-    eigh.  The rank-2 projection is kept in both paths — skipping it
-    changes hypothesis ranking enough to pick worse consensus basins
-    (measured ATE 0.027 -> 0.114 on the 8-frame pan).
+    exact=False (inverse-iteration null vector instead of eigh) is a
+    documented NEGATIVE result: it halves the 500-hypothesis gate's cost
+    (11 -> 5.5 ms) and aligns to the eigh vector < 4e-7 on random
+    well-conditioned samples, but real RANSAC minimal samples are often
+    near-degenerate (tiny eigen-gaps) where it returns a wrong null
+    vector — full-suite regressions: blend-oracle ATE 0.024 -> 0.29,
+    submap-chain 0.03 -> 0.30, seed-sweep failures (round 4).  Exact
+    eigh everywhere; the fast path stays for future tuning.
     """
     n = xy1.shape[0]
     w = jnp.ones((n,), jnp.float32) if weights is None else weights.astype(jnp.float32)
@@ -118,12 +120,9 @@ def eight_point_fundamental(xy1: jnp.ndarray, xy2: jnp.ndarray,
         f = _nullvec_sym_fast(gram).reshape(3, 3)
     f = t2.T @ f @ t1
 
-    # Project to rank 2 (zero the smallest singular value).  Kept exact
-    # (batched 3x3 SVD) in BOTH paths: an SVD-free inverse-iteration
-    # projection (F - (u3^T F v3) u3 v3^T) saved a further ~1.5 ms per
-    # 500-hypothesis gate but perturbed hypothesis ranking enough to pick
-    # visibly worse consensus basins (8-frame pan ATE 0.029 -> 0.193 on
-    # seed 0 — measured round 4).
+    # Project to rank 2 (zero the smallest singular value).  Exact
+    # batched 3x3 SVD: the SVD-free inverse-iteration projection was
+    # another measured negative (ATE 0.029 -> 0.193 on the 8-frame pan).
     u, s, vt = jnp.linalg.svd(f)
     s = s.at[2].set(0.0)
     f = (u * s[None, :]) @ vt
@@ -192,7 +191,7 @@ def ransac_fundamental(key: jax.Array, xy1: jnp.ndarray, xy2: jnp.ndarray,
     sample_idx = jax.vmap(draw)(keys)                      # (H, S)
 
     def hypothesis(idx):
-        return eight_point_fundamental(xy1[idx], xy2[idx], exact=False)
+        return eight_point_fundamental(xy1[idx], xy2[idx])
 
     fs = jax.vmap(hypothesis)(sample_idx)                  # (H, 3, 3)
 

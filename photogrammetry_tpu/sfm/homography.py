@@ -108,8 +108,8 @@ def ransac_homography(key: jax.Array, xy1: jnp.ndarray, xy2: jnp.ndarray,
     keys = jax.random.split(key, num_samples)
     sample_idx = jax.vmap(draw)(keys)
 
-    hs = jax.vmap(lambda idx: dlt_homography(xy1[idx], xy2[idx],
-                                             exact=False))(sample_idx)
+    hs = jax.vmap(lambda idx: dlt_homography(xy1[idx],
+                                             xy2[idx]))(sample_idx)
 
     def score(h):
         return jnp.sum((homography_residuals(h, xy1, xy2) <= threshold)
