@@ -29,17 +29,25 @@ from photogrammetry_tpu.synth.star_scene import (
 )
 
 
+def _force(out):
+    """block_until_ready is a no-op on the tunnel runtime (tpu_notes §0);
+    only a value read proves completion."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    import jax.numpy as jnp
+
+    return float(jnp.ravel(jnp.asarray(leaf, jnp.float32))[0])
+
+
 def timeit(name, fn, *args, iters=10):
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
+    _force(fn(*args))
     c = time.perf_counter() - t0
-    times = []
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    print(f"{name:44s} {np.median(times)*1e3:9.2f} ms (first {c:.0f}s)",
-          flush=True)
+        out = fn(*args)
+    _force(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:44s} {dt*1e3:9.2f} ms (first {c:.0f}s)", flush=True)
 
 
 def main():
