@@ -23,3 +23,7 @@ from photogrammetry_tpu.ops.calibrate import (
     undistort_points,
     undistort_points_brown,
 )
+from photogrammetry_tpu.ops.refine import (
+    refine_subpixel,
+    refine_subpixel_dense,
+)
