@@ -60,6 +60,10 @@ def main(argv=None) -> int:
                          "edges fight the BA trajectory (measured: ATE "
                          "0.03 -> 0.14 on an 8-frame pan with gap 3)")
     ap.add_argument("--loop-min-matches", type=int, default=30)
+    ap.add_argument("--loop-max-edges", type=int, default=8,
+                    help="max accepted loop edges; long revisit sequences "
+                         "benefit from more (each edge pins another pair "
+                         "of the trajectory together)")
     ap.add_argument("--loop-mode", default="rotation",
                     choices=("rotation", "essential", "revisit",
                              "revisit_sim3"),
@@ -236,7 +240,8 @@ def main(argv=None) -> int:
                 cfg.frontend, key=jax.random.PRNGKey(7),
                 min_gap=min_gap,
                 min_matches=args.loop_min_matches,
-                mode=args.loop_mode)
+                mode=args.loop_mode,
+                max_candidates=args.loop_max_edges)
             rs_out = np.asarray(rs_lc)
             ts_out = np.asarray(ts_lc)
             centers_out = -np.einsum("fji,fj->fi", rs_out, ts_out)

@@ -216,7 +216,8 @@ def _median_local_depth(features, rs, ts, k, frame: int, neighbor: int,
 def close_loops(features, rs, ts, k, config, key=None, min_gap: int = 3,
                 min_matches: int = 30, num_iterations: int = 20,
                 mode: str = "rotation", loop_weight: float = 4.0,
-                min_support: int | None = None):
+                min_support: int | None = None,
+                max_candidates: int = 8):
     """End-to-end loop closure: detect → measure → build graph → optimize.
 
     Returns (rs, ts, info dict).  No candidate ⇒ poses returned unchanged.
@@ -269,7 +270,8 @@ def close_loops(features, rs, ts, k, config, key=None, min_gap: int = 3,
             counts[i, j] = int(jnp.sum(valid))
         counts = jnp.asarray(counts)
     pairs = detect_loop_closures(np.asarray(counts), min_gap=min_gap,
-                                 min_matches=min_matches)
+                                 min_matches=min_matches,
+                                 max_candidates=max_candidates)
     if not pairs:
         return rs, ts, {"loop_edges": [], "rejected_edges": [],
                         "counts": np.asarray(counts)}

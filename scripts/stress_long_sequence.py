@@ -57,6 +57,7 @@ def main(num_frames: int = 200):
                  "--submap-frames", "16", "--submap-overlap", "4",
                  "--loop-closure", "--loop-min-gap", "24",
                  "--loop-min-matches", "25", "--loop-mode", "revisit",
+                 "--loop-max-edges", "24",
                  "--trajectory", traj,
                  "--cloud", os.path.join(td, "cloud.ply")])
         sfm_s = time.time() - t0

@@ -48,6 +48,7 @@ def test_long_sequence_submaps_with_revisit_loop_closure(tmp_path, capsys):
                "--submap-frames", "16", "--submap-overlap", "4",
                "--loop-closure", "--loop-min-gap", "24",
                "--loop-min-matches", "25", "--loop-mode", "revisit",
+               "--loop-max-edges", "24",
                "--trajectory", str(traj),
                "--cloud", str(tmp_path / "cloud.ply")])
     assert rc in (0, None)
