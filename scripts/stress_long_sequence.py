@@ -54,7 +54,7 @@ def main(num_frames: int = 200):
         t0 = time.time()
         run_sfm([frames_dir, "--fx", "260", "--cx", "160", "--cy", "120",
                  "--detection-threshold", "20",
-                 "--submap-frames", "16", "--submap-overlap", "4",
+                 "--submap-frames", "18", "--submap-overlap", "6",
                  "--loop-closure", "--loop-min-gap", "24",
                  "--loop-min-matches", "25", "--loop-mode", "revisit",
                  "--loop-max-edges", "24",

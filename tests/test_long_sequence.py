@@ -45,7 +45,7 @@ def test_long_sequence_submaps_with_revisit_loop_closure(tmp_path, capsys):
     rc = main([str(frames_dir),
                "--fx", "260", "--cx", "160", "--cy", "120",
                "--detection-threshold", "20",
-               "--submap-frames", "16", "--submap-overlap", "4",
+               "--submap-frames", "18", "--submap-overlap", "6",
                "--loop-closure", "--loop-min-gap", "24",
                "--loop-min-matches", "25", "--loop-mode", "revisit",
                "--loop-max-edges", "24",
