@@ -213,3 +213,35 @@ def test_fused_scan_matches_host_loop():
         np.testing.assert_array_equal(np.asarray(h.table.points),
                                       np.asarray(f.table.points))
         assert h.costs[-1] == pytest.approx(f.costs[-1], rel=1e-6)
+
+
+def test_read_free_mode_reconstructs():
+    """read_free=True (zero device->host reads before the final export —
+    the tunnel-runtime throughput mode, SfmConfig.read_free) bootstraps
+    at the fixed max-defer frame and still reconstructs the pan within
+    the standard bound."""
+    scene = generate_sequence(StarSceneConfig(num_frames=8, supersample=2))
+    res = run_incremental_sfm(scene["frames"], scene["k"],
+                              SfmConfig(collect_diagnostics=False,
+                                        read_free=True))
+    ate = float(absolute_trajectory_error(
+        jnp.asarray(res.camera_centers.astype(np.float32)),
+        jnp.asarray(scene["centers"].astype(np.float32))))
+    assert ate < 0.2, ate
+    assert len(res.points) > 80
+
+
+def test_fused_steady_steps_bit_identical_to_staged():
+    """fused_steady_steps=True (the opt-in one-program-per-frame path)
+    is bit-identical to the staged loop: same ops, same RNG split order
+    (the staged path's steady branch and _make_steady_step share their
+    structure by construction)."""
+    scene = generate_sequence(StarSceneConfig(num_frames=8, supersample=2))
+    cfg_a = SfmConfig(collect_diagnostics=False, fused_steady_steps=False)
+    cfg_b = SfmConfig(collect_diagnostics=False, fused_steady_steps=True)
+    a = run_incremental_sfm(scene["frames"], scene["k"], cfg_a, seed=3)
+    b = run_incremental_sfm(scene["frames"], scene["k"], cfg_b, seed=3)
+    np.testing.assert_array_equal(a.rs, b.rs)
+    np.testing.assert_array_equal(a.ts, b.ts)
+    np.testing.assert_array_equal(np.asarray(a.table.points),
+                                  np.asarray(b.table.points))
