@@ -62,6 +62,11 @@ class FrontendConfig:
     ratio_test: float = 0.0           # Lowe ratio (0 disables)
     pair_seed: int = 0
     subpixel: bool = True             # refine corners before geometry
+    # Steered BRIEF (ORB-style): rotate each keypoint's pair offsets by
+    # its intensity-centroid patch orientation before sampling —
+    # rotation-invariant descriptors at the same gather cost.  Opt-in
+    # (not reference-parity; the reference's BRIEF is unoriented).
+    oriented_brief: bool = False
     # Tiled Pallas Hamming kernel: None = auto (on for TPU backends, where
     # it measures faster than the XLA matmul path — 1.015 vs 1.059 ms at
     # 4096^2x256 on v5e, docs/tpu_notes.md; off elsewhere: interpret mode
@@ -122,10 +127,18 @@ def _detect(gray: jnp.ndarray, config: FrontendConfig) -> PaddedPoints:
     return pts
 
 
-def _bits(gray: jnp.ndarray, pts: PaddedPoints,
-          pairs: jnp.ndarray) -> jnp.ndarray:
+def _bits(gray: jnp.ndarray, pts: PaddedPoints, pairs: jnp.ndarray,
+          config: "FrontendConfig | None" = None) -> jnp.ndarray:
     """Masked BRIEF bits for detected keypoints."""
-    bits = brief_bits(gray, pts.coords, pairs)
+    if config is not None and config.oriented_brief:
+        from photogrammetry_tpu.ops.brief import (
+            brief_bits_oriented, keypoint_orientations,
+        )
+
+        thetas = keypoint_orientations(gray, pts.coords)
+        bits = brief_bits_oriented(gray, pts.coords, pairs, thetas)
+    else:
+        bits = brief_bits(gray, pts.coords, pairs)
     return bits * pts.mask[:, None].astype(bits.dtype)
 
 
@@ -147,11 +160,12 @@ def detect_keypoints(gray: jnp.ndarray,
     return _detect(gray, config)
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("config",))
 def describe_bits(gray: jnp.ndarray, pts: PaddedPoints,
-                  pairs: jnp.ndarray) -> jnp.ndarray:
+                  pairs: jnp.ndarray,
+                  config: "FrontendConfig | None" = None) -> jnp.ndarray:
     """Jitted BRIEF stage (see detect_and_describe_split)."""
-    return _bits(gray, pts, pairs)
+    return _bits(gray, pts, pairs, config)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -175,7 +189,8 @@ def detect_and_describe(gray: jnp.ndarray, pairs: jnp.ndarray,
     ~0.1 ms/frame for identical results.
     """
     pts = _detect(gray, config)
-    return DescribedFrame(points=pts, bits=_bits(gray, pts, pairs),
+    return DescribedFrame(points=pts,
+                          bits=_bits(gray, pts, pairs, config),
                           xy=_xy(gray, pts, config))
 
 
@@ -187,7 +202,7 @@ def detect_and_describe_split(gray: jnp.ndarray, pairs: jnp.ndarray,
     1920x1080; see docs/tpu_notes.md)."""
     pts = detect_keypoints(gray, config)
     return DescribedFrame(points=pts,
-                          bits=describe_bits(gray, pts, pairs),
+                          bits=describe_bits(gray, pts, pairs, config),
                           xy=refine_xy(gray, pts, config))
 
 
@@ -214,9 +229,9 @@ def _detect_batch(grays, config):
     return jax.vmap(lambda g: _detect(g, cfg))(grays)
 
 
-@partial(jax.jit, static_argnames=())
-def _bits_batch(grays, pts, pairs):
-    return jax.vmap(lambda g, p: _bits(g, p, pairs))(grays, pts)
+@partial(jax.jit, static_argnames=("config",))
+def _bits_batch(grays, pts, pairs, config=None):
+    return jax.vmap(lambda g, p: _bits(g, p, pairs, config))(grays, pts)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -231,7 +246,7 @@ def detect_and_describe_batch_split(grays: jnp.ndarray, pairs: jnp.ndarray,
     ``detect_and_describe_batch`` (docs/tpu_notes.md)."""
     pts = _detect_batch(grays, config)
     return DescribedFrame(points=pts,
-                          bits=_bits_batch(grays, pts, pairs),
+                          bits=_bits_batch(grays, pts, pairs, config),
                           xy=_xy_batch(grays, pts, config))
 
 

@@ -147,3 +147,48 @@ def test_ratio_test_rejects_ambiguous():
                             mutual_nearest_matches(d, 100, max_ratio=0.8))
     assert not valid[0]   # 10 > 0.8 * 11
     assert valid[1]       # 10 <= 0.8 * 100
+
+
+def test_oriented_brief_rotation_invariance():
+    """Steered BRIEF (FrontendConfig.oriented_brief): under a 30-degree
+    in-plane rotation of real photo texture, oriented descriptors recover
+    geometrically-correct matches where unoriented BRIEF recovers none
+    (measured 75/121 correct vs 0/23).  Opt-in: on rotation-free pairs
+    steering COSTS discriminability (the classic steered-BRIEF result —
+    lego stereo filtered matches drop 42 -> 4), so the default stays
+    unoriented/reference-parity."""
+    import cv2
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from photogrammetry_tpu.cli.common import load_gray
+    from photogrammetry_tpu.sfm.frontend import (
+        FrontendConfig, detect_and_describe_split, make_pairs, match_pair,
+    )
+
+    g = load_gray("/root/reference/data/feature_matching_test/"
+                  "lego_space_1_from_left.jpg")
+    g = cv2.resize(g, (1000, 750))
+    h, w = g.shape
+    m_rot = cv2.getRotationMatrix2D((w / 2, h / 2), 30, 1.0)
+    gr = cv2.warpAffine(g, m_rot, (w, h))
+
+    correct = {}
+    for oriented in (False, True):
+        cfg = FrontendConfig(detection_threshold=50.0, max_keypoints=1024,
+                             reduction="nms", suppression_radius=4.0,
+                             hamming_threshold=75, subpixel=False,
+                             oriented_brief=oriented)
+        pairs = make_pairs(cfg)
+        f1 = detect_and_describe_split(jnp.asarray(g), pairs, cfg)
+        f2 = detect_and_describe_split(jnp.asarray(gr), pairs, cfg)
+        m = match_pair(f1, f2, cfg)
+        mask = np.asarray(m.mask)
+        xy1 = np.asarray(m.xy1)[mask]
+        xy2 = np.asarray(m.xy2)[mask]
+        pred = xy1 @ m_rot[:, :2].T + m_rot[:, 2]
+        err = np.linalg.norm(pred - xy2, axis=1)
+        correct[oriented] = int((err < 3).sum())
+    assert correct[True] >= 40, correct
+    assert correct[True] > 5 * max(correct[False], 1), correct
