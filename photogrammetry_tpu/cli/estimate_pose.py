@@ -28,6 +28,8 @@ def main(argv=None) -> int:
                     help="Sampson inlier threshold, pixels")
     ap.add_argument("--fx", type=float, default=None,
                     help="focal length in pixels (default 1.2*width)")
+    ap.add_argument("--oriented-brief", action="store_true",
+                    help="steered (rotation-invariant) BRIEF descriptors")
     ap.add_argument("--motion-filter", action="store_true",
                     help="GMS-style motion-smoothness prefilter on the "
                          "matches before RANSAC (ops.match."
@@ -56,6 +58,7 @@ def main(argv=None) -> int:
         hamming_threshold=args.match_threshold,
         reduction=args.reduction,
         suppression_radius=4.0,
+        oriented_brief=args.oriented_brief,
     )
     pairs = make_pairs(config)
     g1 = jnp.asarray(load_gray(args.image1))

@@ -21,6 +21,9 @@ def main(argv=None) -> int:
     ap.add_argument("--max-merge-dist", type=float, default=25.0)
     ap.add_argument("--reduction", choices=["cluster", "nms", "none"],
                     default="cluster")
+    ap.add_argument("--oriented-brief", action="store_true",
+                    help="steered (rotation-invariant) BRIEF descriptors "
+                         "(ops/brief.py); use for rotated viewpoints")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -38,6 +41,7 @@ def main(argv=None) -> int:
         hamming_threshold=args.match_threshold,
         max_merge_dist=args.max_merge_dist,
         reduction=args.reduction,
+        oriented_brief=args.oriented_brief,
     )
     pairs = make_pairs(config)
     timer = StageTimer()
