@@ -317,3 +317,55 @@ def match_pair(f1: DescribedFrame, f2: DescribedFrame,
     xy2 = f2.xy[jnp.clip(idx2, 0)]
     return MatchedPair(xy1=xy1, xy2=xy2, idx2=idx2, dist=dist, mask=valid,
                        num=jnp.sum(valid).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=())
+def _downsample2(gray: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average-pool downsample (dense, bandwidth-bound)."""
+    h2, w2 = gray.shape[0] // 2, gray.shape[1] // 2
+    g = gray[:h2 * 2, :w2 * 2]
+    return (g[0::2, 0::2] + g[0::2, 1::2] + g[1::2, 0::2] + g[1::2, 1::2]) \
+        * 0.25
+
+
+def detect_and_describe_pyramid(gray: jnp.ndarray, pairs: jnp.ndarray,
+                                config: FrontendConfig,
+                                octaves: int = 3) -> DescribedFrame:
+    """Multi-scale frontend: detect + describe on ``octaves`` power-of-two
+    image scales and merge into one fixed-capacity DescribedFrame.
+
+    Scale invariance the pyramid way (the reference is single-scale):
+    descriptors computed on octave o see the scene at 2^o coarser
+    resolution, so features match across views whose apparent scale
+    differs by up to ~2^(octaves-1).  Coordinates are mapped back to
+    octave-0 pixels (the 2x2 average pool centers octave-o pixel p at
+    2^o p + (2^(o-1) - 0.5)).  Each octave keeps the full configured
+    capacity; the merged frame has octaves x max_keypoints slots, so
+    matching/RANSAC shapes scale accordingly.  Opt-in via
+    FrontendConfig-independent call (pyramid semantics are not
+    reference-parity).
+    """
+    frames = []
+    img = gray
+    for o in range(octaves):
+        f = detect_and_describe_split(img, pairs, config)
+        off = (2.0 ** (o - 1) - 0.5) if o > 0 else 0.0
+        scale = float(2 ** o)
+        xy = f.xy * scale + off
+        coords = jnp.rint(
+            f.points.coords.astype(jnp.float32) * scale + off
+        ).astype(jnp.int32)
+        frames.append(DescribedFrame(
+            points=PaddedPoints(coords=coords, score=f.points.score,
+                                mask=f.points.mask, count=f.points.count),
+            bits=f.bits, xy=xy))
+        if o + 1 < octaves:
+            img = _downsample2(img)
+    cat = lambda get: jnp.concatenate([get(f) for f in frames], axis=0)
+    mask = cat(lambda f: f.points.mask)
+    pts = PaddedPoints(coords=cat(lambda f: f.points.coords),
+                       score=cat(lambda f: f.points.score),
+                       mask=mask,
+                       count=jnp.sum(mask).astype(jnp.int32))
+    return DescribedFrame(points=pts, bits=cat(lambda f: f.bits),
+                          xy=cat(lambda f: f.xy))

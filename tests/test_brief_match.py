@@ -192,3 +192,45 @@ def test_oriented_brief_rotation_invariance():
         correct[oriented] = int((err < 3).sum())
     assert correct[True] >= 40, correct
     assert correct[True] > 5 * max(correct[False], 1), correct
+
+
+def test_pyramid_frontend_scale_invariance():
+    """detect_and_describe_pyramid: under a 2x apparent-scale change of
+    real photo texture the 3-octave pyramid recovers a dense set of
+    geometrically-correct matches where the single-scale frontend
+    collapses (measured 158/158 correct vs 2/25)."""
+    import cv2
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from photogrammetry_tpu.cli.common import load_gray
+    from photogrammetry_tpu.sfm.frontend import (
+        FrontendConfig, detect_and_describe_pyramid,
+        detect_and_describe_split, make_pairs, match_pair,
+    )
+
+    g = load_gray("/root/reference/data/feature_matching_test/"
+                  "lego_space_1_from_left.jpg")
+    g = cv2.resize(g, (1200, 900))
+    gs = cv2.resize(g, (600, 450))
+    cfg = FrontendConfig(detection_threshold=50.0, max_keypoints=1024,
+                         reduction="nms", suppression_radius=4.0,
+                         hamming_threshold=75, subpixel=False)
+    pairs = make_pairs(cfg)
+
+    def correct(f1, f2):
+        m = match_pair(f1, f2, cfg)
+        mask = np.asarray(m.mask)
+        err = np.linalg.norm(np.asarray(m.xy1)[mask] * 0.5
+                             - np.asarray(m.xy2)[mask], axis=1)
+        return int((err < 3).sum())
+
+    n_single = correct(
+        detect_and_describe_split(jnp.asarray(g), pairs, cfg),
+        detect_and_describe_split(jnp.asarray(gs), pairs, cfg))
+    n_pyr = correct(
+        detect_and_describe_pyramid(jnp.asarray(g), pairs, cfg, octaves=3),
+        detect_and_describe_pyramid(jnp.asarray(gs), pairs, cfg, octaves=3))
+    assert n_pyr >= 100, (n_single, n_pyr)
+    assert n_pyr > 10 * max(n_single, 1), (n_single, n_pyr)

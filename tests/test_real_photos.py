@@ -197,6 +197,21 @@ def test_lego_two_view_pipeline():
     z = pts[:, 2]
     assert (z > 0).mean() >= 0.6, z
 
+    # the 3-octave pyramid frontend nearly doubles the recovered
+    # geometry on this pair (the views differ in apparent scale):
+    # 139 matches -> 76 filtered -> 27 RANSAC inliers (vs 77/42/15
+    # single-scale)
+    from photogrammetry_tpu.sfm.frontend import detect_and_describe_pyramid
+
+    p1 = detect_and_describe_pyramid(g1, pairs, cfg, octaves=3)
+    p2 = detect_and_describe_pyramid(g2, pairs, cfg, octaves=3)
+    mp = match_pair(p1, p2, cfg)
+    assert int(mp.num) >= 110, int(mp.num)
+    mkp = motion_consistency_mask(mp.xy1, mp.xy2, mp.mask)
+    resp = two_view_pipeline(jax.random.PRNGKey(0), mp.xy1, mp.xy2, mkp, k,
+                             threshold=2.0, num_samples=4000)
+    assert int(resp.num_inliers) >= 20, int(resp.num_inliers)
+
     import os
     import tempfile
 
