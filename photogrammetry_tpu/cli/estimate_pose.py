@@ -30,6 +30,9 @@ def main(argv=None) -> int:
                     help="focal length in pixels (default 1.2*width)")
     ap.add_argument("--oriented-brief", action="store_true",
                     help="steered (rotation-invariant) BRIEF descriptors")
+    ap.add_argument("--pyramid-octaves", type=int, default=1,
+                    help=">1 runs the multi-scale pyramid frontend "
+                         "(scale-invariant matching; 3 is typical)")
     ap.add_argument("--motion-filter", action="store_true",
                     help="GMS-style motion-smoothness prefilter on the "
                          "matches before RANSAC (ops.match."
@@ -72,8 +75,18 @@ def main(argv=None) -> int:
 
     timer = StageTimer()
     with timer.stage("frontend"):
-        f1 = detect_and_describe_split(g1, pairs, config)
-        f2 = detect_and_describe_split(g2, pairs, config)
+        if args.pyramid_octaves > 1:
+            from photogrammetry_tpu.sfm.frontend import (
+                detect_and_describe_pyramid,
+            )
+
+            f1 = detect_and_describe_pyramid(g1, pairs, config,
+                                             octaves=args.pyramid_octaves)
+            f2 = detect_and_describe_pyramid(g2, pairs, config,
+                                             octaves=args.pyramid_octaves)
+        else:
+            f1 = detect_and_describe_split(g1, pairs, config)
+            f2 = detect_and_describe_split(g2, pairs, config)
         m = timer.block(match_pair(f1, f2, config))
     if args.motion_filter:
         from photogrammetry_tpu.ops.match import motion_consistency_mask
