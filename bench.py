@@ -25,8 +25,8 @@ process in the deterministic synchronous-dispatch mode (measured FASTER
 than the async mode end-to-end and far less variable); (2) times blocks of
 calls each terminated by a forcing read of the final output; (3) gates on
 two consecutive blocks within 5% and reports the median of five blocks.
-True throughput is ~42 frames/s/chip — the honest number; see
-BENCH_FULL.md for the full postmortem and roofline accounting.
+See BENCH_FULL.md for the current headline number, the full postmortem
+and the roofline accounting.
 """
 from __future__ import annotations
 
@@ -75,16 +75,19 @@ def main() -> None:
         """Frames/s over one block, terminated by a FORCING value read
         (block_until_ready is a no-op on this runtime)."""
         out = fn(frame)
-        _ = float(out.bits[0, 0])
+        _ = float(out.xy[0, 0])
         start = time.perf_counter()
         for _ in range(iters):
             out = fn(frame)
-        _ = float(out.bits[0, 0])  # forces completion of all iters
+        # forces completion of all iters: xy is the LAST-dispatched
+        # output (refine runs after describe), so under in-order reads
+        # this closes the whole block, bits included
+        _ = float(out.xy[0, 0])
         return iters / (time.perf_counter() - start)
 
     # compile warmup
     out = fn(frame)
-    _ = float(out.bits[0, 0])
+    _ = float(out.xy[0, 0])
 
     # steady-state gate: blocks until two consecutive agree within 5%
     prev = timed_block(10)

@@ -17,6 +17,7 @@ noted in SURVEY.md §5).
 from __future__ import annotations
 
 import argparse
+import hashlib
 import os
 
 
@@ -70,6 +71,12 @@ def build_pipeline(coeffs, threshold: float, suppression_radius: float,
         os.makedirs(out_dir, exist_ok=True)
         stem = os.path.splitext(os.path.basename(str(source)))[0]
         path = os.path.join(out_dir, f"keypoints_{stem}.png")
+        if os.path.exists(path):
+            # two inputs sharing a basename stem (same filename in
+            # different directories, or foo.jpg + foo.png) must not
+            # silently overwrite each other
+            tag = hashlib.sha1(str(source).encode()).hexdigest()[:8]
+            path = os.path.join(out_dir, f"keypoints_{stem}_{tag}.png")
         write_image(path, overlay)
         return path
 

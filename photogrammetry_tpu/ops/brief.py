@@ -74,7 +74,7 @@ def brief_descriptors(image, coords, pairs):
     return bits, pack_bits(bits)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("radius",))
 def keypoint_orientations(image: jnp.ndarray, coords: jnp.ndarray,
                           radius: int = 15) -> jnp.ndarray:
     """(N,) patch orientations by the intensity-centroid method (ORB's

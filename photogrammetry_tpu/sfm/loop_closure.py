@@ -19,6 +19,8 @@ never invents scale).
 from __future__ import annotations
 
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -320,7 +322,14 @@ def close_loops(features, rs, ts, k, config, key=None, min_gap: int = 3,
             dj = _median_local_depth(features, rs_j, ts_j, k, j,
                                      max(j - 1, 0) if j - 1 != i
                                      else min(j + 1, n - 1), config)
-            zs = float(np.clip(dj / max(di, 1e-9), 0.05, 20.0))
+            # A revisit frame with no valid in-gate depths yields a NaN
+            # probe; np.clip(NaN) stays NaN and would poison every LM
+            # step (NaN cost => silent no-op closure).  Fall back to a
+            # unit scale measurement for that edge.
+            if not (math.isfinite(di) and math.isfinite(dj)):
+                zs = 1.0
+            else:
+                zs = float(np.clip(dj / max(di, 1e-9), 0.05, 20.0))
             scales_meas.append(zs)
             eds.append((i, j))
             zr_l.append(jnp.asarray(zr))
