@@ -1,0 +1,249 @@
+"""Pallas TPU kernel: separable two-pass bilinear remap (lens dewarp apply).
+
+The chip loses a direct bilinear remap to its serial element-gather rate
+(~80-95 M elem/s: 8.3 M gathered taps = 87 ms at 1080p, BENCH_FULL.md),
+while the reference's cv2.remap headline is 8-16 ms
+(/root/reference/python_src/photogrammetry/image_processing/warping.py:149-161,
+data/dewarp_test/stats.json entries 18-32).  This kernel removes the
+gathers entirely by exploiting the smoothness of the distortion map —
+the classic two-pass (vertical, then horizontal) mesh-warp decomposition:
+
+  pass 1 (vertical):   tmp[y, c] = V-interp(img[:, c]) at row rho(y, c)
+  pass 2 (horizontal): out[y, x] = H-interp(tmp[y, :]) at col sc(y, x)
+
+where rho(y, c) = sr(y, x(y, c)) with x(y, c) the output column whose
+horizontal sample position lands on source column c — the exact two-pass
+intermediate, built once per distortion map on the host (build_remap_plan).
+Pass 2 is pass 1 on transposed arrays, so ONE kernel serves both, with a
+dense XLA transpose between.
+
+Inside the kernel nothing is gathered: each output tile's source row band
+is DMA'd with a per-tile dynamic base (SMEM table, fast-stencil-style
+manual DMA), and the per-element fractional row positions are resolved as
+a static loop of shifted slices with hat weights
+  w_d = max(0, 1 - |rho_local - (y + d)|),   d = 0..DV-1
+which is exact linear interpolation (two adjacent taps nonzero).  All
+work is dense VPU multiply-adds at bandwidth-bound sizes.
+
+Accuracy: identical to true bilinear up to the two-pass cross-term — the
+intermediate row position is evaluated at integer source columns instead
+of at the exact (fractional) horizontal tap, an O(|d sr/d x|) sub-pixel
+vertical displacement (~0.04 px for the reference's 1080p coefficients).
+Parity vs the exact XLA path is asserted to small tolerance in
+tests/test_kernels.py; ops.dewarp.apply_distortion_map remains the exact
+reference implementation.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Zero border: map coordinates are clamped to [-_BORDER, size+_BORDER-1]
+# and the source is zero-padded so out-of-image taps read real zeros,
+# matching apply_distortion_map's per-tap zeroing semantics.
+_BORDER = 2
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _roundup(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+class _PassPlan(NamedTuple):
+    """One vertical-resample pass: statics + device arrays."""
+    r0: np.ndarray        # (Ht, Wt) int32 per-tile source-row DMA base
+    rho: np.ndarray       # (Hp, Wp) f32 source row per output element
+    th: int               # output tile rows
+    tw: int               # output tile cols (lane multiple)
+    dv: int               # shift-window terms (multiple of 8)
+    src_rows: int         # padded source row count the DMA reads from
+    out_h: int            # valid output rows (pre-padding)
+    out_w: int            # valid output cols
+
+
+class RemapPlan(NamedTuple):
+    pass1: _PassPlan      # vertical: img -> tmp (rows=H_out, cols=src cols)
+    pass2: _PassPlan      # horizontal, transposed: tmpT -> outT
+    src_h: int
+    src_w: int
+    pad_top1: int         # zero rows prepended to the image (pass-1 DMA)
+    pad_top2: int         # zero rows prepended to tmpT (pass-2 DMA)
+    out_h: int
+    out_w: int
+
+
+def _build_pass(rho: np.ndarray, src_rows: int, th: int, tw: int,
+                out_h: int, out_w: int):
+    """Per-tile DMA bases + static window for one vertical pass.
+
+    rho: (H, W) absolute source-row coordinate per output element (already
+    offset into the padded source grid).  Returns (_PassPlan, pad_top,
+    pad_bot) where the paddings extend the source so every DMA'd band
+    [r0, r0+th+dv) is in range.
+    """
+    h, w = rho.shape
+    ht, wt = _cdiv(h, th), _cdiv(w, tw)
+    padded = np.pad(rho, ((0, ht * th - h), (0, wt * tw - w)), mode="edge")
+    # rel = rho - global output row; the kernel's shift-window coordinate
+    # is rho_local - y_local = rel + ty - r0 (y_local = iota over the tile)
+    rel_full = padded - np.arange(ht * th, dtype=rho.dtype)[:, None]
+    rel = rel_full.reshape(ht, th, wt, tw)
+    lo = np.floor(rel.min(axis=(1, 3)))             # (ht, wt)
+    hi = np.ceil(rel.max(axis=(1, 3)))
+    ty = (np.arange(ht) * th)[:, None]
+    r0 = (np.floor((ty + lo - 1) / 8.0) * 8.0).astype(np.int64)
+    # coverage: rel + ty - r0 must fit in [0, dv-2] (both interp taps)
+    span = int(np.max((ty + hi) - r0)) + 2
+    dv = _roundup(max(span, 8), 8)
+    pad_top = int(max(0, -r0.min()))
+    r0 = r0 + pad_top
+    pad_bot = int(max(0, int(r0.max()) + th + dv - (src_rows + pad_top)))
+    plan = _PassPlan(r0=r0.astype(np.int32), rho=padded + pad_top,
+                     th=th, tw=tw, dv=dv,
+                     src_rows=src_rows + pad_top + pad_bot,
+                     out_h=out_h, out_w=out_w)
+    return plan, pad_top, pad_bot
+
+
+def build_remap_plan(dist_map: np.ndarray, src_shape: tuple,
+                     tile: tuple = (64, 512)) -> RemapPlan | None:
+    """Build the two-pass plan for a fixed (H, W, 2) distortion map.
+
+    src_shape: (H_s, W_s) of the source image the map samples from.
+    Returns None when the map's horizontal coordinate is not monotonic in
+    the output column (the two-pass inversion needs a per-row invertible
+    horizontal map) — callers fall back to the exact gather path.
+    """
+    th, tw = tile
+    src_h, src_w = src_shape
+    dist_map = np.asarray(dist_map, np.float64)
+    out_h, out_w = dist_map.shape[:2]
+    # clamp far-outside coordinates to a 2-px zero-border ring: both interp
+    # taps then land in zero padding, matching the exact path's per-tap
+    # zeroing (coordinates are raw source pixels; negative values are
+    # absorbed by _build_pass's pad_top in each pass)
+    sr = np.clip(dist_map[..., 0], -_BORDER, src_h + _BORDER - 1.0)
+    sc = np.clip(dist_map[..., 1], -_BORDER, src_w + _BORDER - 1.0)
+
+    d = np.diff(sc, axis=1)
+    if not np.all(d > -1e-6):
+        return None  # horizontally folded map: keep the exact gather path
+
+    # exact two-pass intermediate: rho1[y, c] = sr(y, x) where sc(y, x) = c
+    # (tmp column c = raw source column c; c outside [0, src_w) lives in
+    # zero padding, so its rho value is inert)
+    xs = np.arange(out_w, dtype=np.float64)
+    cgrid = np.arange(src_w, dtype=np.float64)
+    rho1 = np.empty((out_h, src_w), np.float64)
+    for y in range(out_h):
+        xp = sc[y] + 1e-6 * xs             # strictly increasing (ties at
+        x_of_c = np.interp(cgrid, xp, xs)  # the clamped border are inert)
+        rho1[y] = np.interp(x_of_c, xs, sr[y])
+
+    plan1, pad_top1, _pad_bot1 = _build_pass(
+        rho1.astype(np.float32), src_h, th, tw, out_h, src_w)
+
+    # pass 2 on transposed arrays: rows = output columns, source rows =
+    # tmp columns (= raw source columns)
+    rho2 = np.ascontiguousarray(sc.T).astype(np.float32)  # (out_w, out_h)
+    plan2, pad_top2, _pad_bot2 = _build_pass(
+        rho2, src_w, th, tw, out_w, out_h)
+
+    return RemapPlan(pass1=plan1, pass2=plan2, src_h=src_h, src_w=src_w,
+                     pad_top1=pad_top1, pad_top2=pad_top2,
+                     out_h=out_h, out_w=out_w)
+
+
+def _make_kernel(th: int, tw: int, dv: int):
+    br = th + dv
+
+    def kernel(r0_ref, src_hbm, rho_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        def body(band, sem):
+            r0 = r0_ref[i, j]
+            copy = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(r0, br), pl.ds(j * tw, tw)], band, sem)
+            copy.start()
+            copy.wait()
+            rho_l = rho_ref[...] - r0.astype(jnp.float32)
+            # Mosaic's tpu.iota is integer-only; cast after
+            y = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
+                .astype(jnp.float32)
+            acc = jnp.zeros((th, tw), jnp.float32)
+            for d in range(dv):
+                w = jnp.maximum(1.0 - jnp.abs(rho_l - (y + d)), 0.0)
+                acc = acc + band[d:d + th, :] * w
+            out_ref[:] = acc
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((br, tw), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        )
+
+    return kernel
+
+
+def _run_pass(src: jnp.ndarray, plan: _PassPlan, pad_top: int,
+              interpret: bool) -> jnp.ndarray:
+    """src: (S, W_valid) source rows BEFORE padding; returns (out_h, out_w)."""
+    hp, wp = plan.rho.shape
+    pad_bot = plan.src_rows - pad_top - src.shape[0]
+    src_p = jnp.pad(src.astype(jnp.float32),
+                    ((pad_top, pad_bot), (0, wp - src.shape[1])))
+    out = pl.pallas_call(
+        _make_kernel(plan.th, plan.tw, plan.dv),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        grid=(hp // plan.th, wp // plan.tw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile DMA bases
+            pl.BlockSpec(memory_space=pltpu.ANY),   # source stays in HBM
+            pl.BlockSpec((plan.th, plan.tw), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),  # rho tile
+        ],
+        out_specs=pl.BlockSpec((plan.th, plan.tw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(jnp.asarray(plan.r0), src_p, jnp.asarray(plan.rho))
+    return out[:plan.out_h, :plan.out_w]
+
+
+@partial(jax.jit, static_argnames=("plan_static", "interpret"))
+def _apply(image, r0_1, rho_1, r0_2, rho_2, plan_static, interpret):
+    (th, tw, dv1, dv2, src_rows1, src_rows2, out1_h, out1_w, out2_h,
+     out2_w, pad_top1, pad_top2) = plan_static
+    p1 = _PassPlan(r0=r0_1, rho=rho_1, th=th, tw=tw, dv=dv1,
+                   src_rows=src_rows1, out_h=out1_h, out_w=out1_w)
+    p2 = _PassPlan(r0=r0_2, rho=rho_2, th=th, tw=tw, dv=dv2,
+                   src_rows=src_rows2, out_h=out2_h, out_w=out2_w)
+    tmp = _run_pass(image, p1, pad_top1, interpret)       # (out_h, src_cols)
+    out_t = _run_pass(tmp.T, p2, pad_top2, interpret)     # (out_w, out_h)
+    return out_t.T
+
+
+def apply_remap_pallas(image: jnp.ndarray, plan: RemapPlan,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Remap ``image`` ((H_s, W_s), any real dtype) through the plan's
+    distortion map; matches apply_distortion_map(..., mode='bilinear') up
+    to the two-pass cross-term (docstring above)."""
+    p1, p2 = plan.pass1, plan.pass2
+    statics = (p1.th, p1.tw, p1.dv, p2.dv, p1.src_rows, p2.src_rows,
+               p1.out_h, p1.out_w, p2.out_h, p2.out_w,
+               plan.pad_top1, plan.pad_top2)
+    out = _apply(image, jnp.asarray(p1.r0), jnp.asarray(p1.rho),
+                 jnp.asarray(p2.r0), jnp.asarray(p2.rho), statics,
+                 interpret)
+    if jnp.issubdtype(image.dtype, jnp.floating):
+        return out.astype(image.dtype)
+    return jnp.round(out).astype(image.dtype)

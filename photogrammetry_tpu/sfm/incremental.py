@@ -401,6 +401,38 @@ def _bootstrap_map(key, table: TrackTable, rs, ts, kmat, config: "SfmConfig",
     return rs, ts, table, sup_a[pick]
 
 
+class DeviceSfmResult:
+    """Device-side result: everything still on the chip, ZERO reads taken.
+
+    Produced by ``run_incremental_sfm(..., export=False)`` — the handle a
+    zero-read pipeline holds until its one final export.  On the tunnel
+    toolchain the process's FIRST device->host read permanently flips it
+    into ~17 ms/program synchronous dispatch (docs/tpu_notes.md §3), so a
+    clean-mode run must defer even the trajectory readback; call
+    ``export_sfm_result`` (one batched device_get) when done.
+    """
+
+    def __init__(self, rs, ts, table, costs, frame_info, pending_support):
+        self.rs = rs
+        self.ts = ts
+        self.table = table
+        self.costs = costs
+        self.frame_info = frame_info
+        self.pending_support = pending_support
+
+
+def export_sfm_result(dev: "DeviceSfmResult") -> "SfmResult":
+    """ONE batched device->host transfer closing a zero-read run."""
+    rs_h, ts_h, costs_h = jax.device_get(
+        (dev.rs, dev.ts,
+         jnp.stack(dev.costs) if dev.costs else jnp.zeros((0,))))
+    if dev.pending_support is not None:
+        info_d, support_d = dev.pending_support
+        info_d["bootstrap_support"] = int(support_d)
+    return SfmResult(rs_h, ts_h, dev.table, [float(c) for c in costs_h],
+                     dev.frame_info)
+
+
 class SfmResult:
     """Host-side result: trajectory + landmarks + diagnostics."""
 
@@ -428,12 +460,18 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                         seed: int = 0,
                         checkpoint_path: str | None = None,
                         checkpoint_every: int = 4,
-                        resume: bool = True) -> SfmResult:
+                        resume: bool = True,
+                        export: bool = True) -> SfmResult:
     """frames: (F, H, W) grayscale uint8/float; k: (3, 3) intrinsics.
 
     With checkpoint_path set, (poses, landmarks, track table) snapshot
     atomically every ``checkpoint_every`` frames and a rerun resumes from
     the latest snapshot (store/checkpoint.py).
+
+    export=False returns a DeviceSfmResult with ZERO device->host reads
+    taken (requires read_free=True, collect_diagnostics=False and no
+    checkpointing); finish with export_sfm_result.  See
+    scripts/bench_sfm_clean.py for why this matters on the tunnel runtime.
     """
     config = config or SfmConfig()
     fc = config.frontend
@@ -739,15 +777,14 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
             rs, ts, table = _rescale_gauge(rs, ts, table)
             costs.append(res.cost)
 
+    dev = DeviceSfmResult(rs=rs, ts=ts, table=table, costs=costs,
+                          frame_info=frame_info,
+                          pending_support=pending_support)
+    if not export:
+        return dev
     # ONE batched device->host transfer for everything the result needs —
     # sequential np.asarray/float() calls each pay the tunnel RTT.
-    rs_h, ts_h, costs_h = jax.device_get(
-        (rs, ts, jnp.stack(costs) if costs else jnp.zeros((0,))))
-    if pending_support is not None:
-        info_d, support_d = pending_support
-        info_d["bootstrap_support"] = int(support_d)
-    return SfmResult(rs_h, ts_h, table, [float(c) for c in costs_h],
-                     frame_info)
+    return export_sfm_result(dev)
 
 
 def reconstruction_quality(res: SfmResult, k: np.ndarray,
