@@ -85,6 +85,11 @@ def main(argv=None) -> int:
                          "(sfm/submaps.py): track capacity scales with "
                          "sequence length instead of one fixed table")
     ap.add_argument("--submap-overlap", type=int, default=4)
+    ap.add_argument("--submap-refine", type=int, default=2,
+                    help="cross-seam global refinement rounds after the "
+                         "pose graph: merged overlap tracks are "
+                         "retriangulated and bundle-adjusted globally "
+                         "(0 disables; sfm/submaps.py)")
     ap.add_argument("--mesh", type=int, default=0,
                     help=">0 runs every windowed/final bundle adjustment "
                          "as the distributed psum-Schur step over a "
@@ -199,7 +204,8 @@ def main(argv=None) -> int:
             res = run_submap_sfm(frames, k, cfg,
                                  submap_frames=args.submap_frames,
                                  overlap=args.submap_overlap,
-                                 restarts=max(1, args.restarts))
+                                 restarts=max(1, args.restarts),
+                                 global_refine_rounds=args.submap_refine)
         elif args.restarts > 1:
             from photogrammetry_tpu.sfm.incremental import (
                 run_incremental_sfm_robust,

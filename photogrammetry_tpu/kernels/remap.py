@@ -59,9 +59,18 @@ def _roundup(a: int, b: int) -> int:
 
 
 class _PassPlan(NamedTuple):
-    """One vertical-resample pass: statics + device arrays."""
-    r0: np.ndarray        # (Ht, Wt) int32 per-tile source-row DMA base
+    """One vertical-resample pass: statics + device arrays.
+
+    The per-tile DMA base is the affine form r0 = a_i*i + c_j*j + b with
+    STATIC integer coefficients (multiples of 8): the axon AOT's Mosaic
+    build crashes outright on DMA offsets read from SMEM
+    (scripts/probe_remap_features.py p3) while affine-in-program-id
+    offsets compile fine (p2, and kernels/fast_stencil.py).  The affine
+    fit's residual is folded into the shift window ``dv``."""
     rho: np.ndarray       # (Hp, Wp) f32 source row per output element
+    a_i: int              # DMA base slope per tile row (multiple of 8)
+    c_j: int              # DMA base slope per tile col (multiple of 8)
+    b: int                # DMA base offset (multiple of 8)
     th: int               # output tile rows
     tw: int               # output tile cols (lane multiple)
     dv: int               # shift-window terms (multiple of 8)
@@ -100,14 +109,30 @@ def _build_pass(rho: np.ndarray, src_rows: int, th: int, tw: int,
     lo = np.floor(rel.min(axis=(1, 3)))             # (ht, wt)
     hi = np.ceil(rel.max(axis=(1, 3)))
     ty = (np.arange(ht) * th)[:, None]
-    r0 = (np.floor((ty + lo - 1) / 8.0) * 8.0).astype(np.int64)
-    # coverage: rel + ty - r0 must fit in [0, dv-2] (both interp taps)
-    span = int(np.max((ty + hi) - r0)) + 2
+    r0_true = ty + lo - 1.0                          # ideal per-tile base
+    # static affine fit r0 ~= a_i*i + c_j*j + b, coefficients multiples of
+    # 8 (aligned DMA rows); residual widens the shift window instead
+    ii = np.arange(ht, dtype=np.float64)[:, None] * np.ones((1, wt))
+    jj = np.arange(wt, dtype=np.float64)[None, :] * np.ones((ht, 1))
+    a_i = th if ht == 1 else \
+        int(np.round(np.mean(r0_true[-1] - r0_true[0])
+                     / (8.0 * (ht - 1))) * 8)
+    c_j = 0 if wt == 1 else \
+        int(np.round(np.mean(r0_true[:, -1] - r0_true[:, 0])
+                     / (8.0 * (wt - 1))) * 8)
+    res = r0_true - a_i * ii - c_j * jj
+    b = int(np.floor(res.min() / 8.0) * 8)
+    emax = int(np.ceil(res.max() - b))              # 0 <= e <= emax
+    # coverage: rel + ty - (a_i*i + c_j*j + b) in [1, (hi-lo)+1+emax]
+    span = int(np.max(hi - lo)) + emax + 3
     dv = _roundup(max(span, 8), 8)
-    pad_top = int(max(0, -r0.min()))
-    r0 = r0 + pad_top
-    pad_bot = int(max(0, int(r0.max()) + th + dv - (src_rows + pad_top)))
-    plan = _PassPlan(r0=r0.astype(np.int32), rho=padded + pad_top,
+    r0_all = (a_i * ii + c_j * jj + b).astype(np.int64)
+    pad_top = int(max(0, -r0_all.min()))
+    b += pad_top
+    pad_bot = int(max(0,
+                      int(r0_all.max()) + pad_top + th + dv
+                      - (src_rows + pad_top)))
+    plan = _PassPlan(rho=padded + pad_top, a_i=a_i, c_j=c_j, b=b,
                      th=th, tw=tw, dv=dv,
                      src_rows=src_rows + pad_top + pad_bot,
                      out_h=out_h, out_w=out_w)
@@ -163,15 +188,15 @@ def build_remap_plan(dist_map: np.ndarray, src_shape: tuple,
                      out_h=out_h, out_w=out_w)
 
 
-def _make_kernel(th: int, tw: int, dv: int):
+def _make_kernel(th: int, tw: int, dv: int, a_i: int, c_j: int, b: int):
     br = th + dv
 
-    def kernel(r0_ref, src_hbm, rho_ref, out_ref):
+    def kernel(src_hbm, rho_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
 
         def body(band, sem):
-            r0 = r0_ref[i, j]
+            r0 = pl.multiple_of(a_i * i + c_j * j + b, 8)
             copy = pltpu.make_async_copy(
                 src_hbm.at[pl.ds(r0, br), pl.ds(j * tw, tw)], band, sem)
             copy.start()
@@ -203,11 +228,10 @@ def _run_pass(src: jnp.ndarray, plan: _PassPlan, pad_top: int,
     src_p = jnp.pad(src.astype(jnp.float32),
                     ((pad_top, pad_bot), (0, wp - src.shape[1])))
     out = pl.pallas_call(
-        _make_kernel(plan.th, plan.tw, plan.dv),
+        _make_kernel(plan.th, plan.tw, plan.dv, plan.a_i, plan.c_j, plan.b),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         grid=(hp // plan.th, wp // plan.tw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile DMA bases
             pl.BlockSpec(memory_space=pltpu.ANY),   # source stays in HBM
             pl.BlockSpec((plan.th, plan.tw), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),  # rho tile
@@ -215,20 +239,17 @@ def _run_pass(src: jnp.ndarray, plan: _PassPlan, pad_top: int,
         out_specs=pl.BlockSpec((plan.th, plan.tw), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(jnp.asarray(plan.r0), src_p, jnp.asarray(plan.rho))
+    )(src_p, jnp.asarray(plan.rho))
     return out[:plan.out_h, :plan.out_w]
 
 
-@partial(jax.jit, static_argnames=("plan_static", "interpret"))
-def _apply(image, r0_1, rho_1, r0_2, rho_2, plan_static, interpret):
-    (th, tw, dv1, dv2, src_rows1, src_rows2, out1_h, out1_w, out2_h,
-     out2_w, pad_top1, pad_top2) = plan_static
-    p1 = _PassPlan(r0=r0_1, rho=rho_1, th=th, tw=tw, dv=dv1,
-                   src_rows=src_rows1, out_h=out1_h, out_w=out1_w)
-    p2 = _PassPlan(r0=r0_2, rho=rho_2, th=th, tw=tw, dv=dv2,
-                   src_rows=src_rows2, out_h=out2_h, out_w=out2_w)
-    tmp = _run_pass(image, p1, pad_top1, interpret)       # (out_h, src_cols)
-    out_t = _run_pass(tmp.T, p2, pad_top2, interpret)     # (out_w, out_h)
+@partial(jax.jit, static_argnames=("statics1", "statics2", "pads",
+                                   "interpret"))
+def _apply(image, rho_1, rho_2, statics1, statics2, pads, interpret):
+    p1 = _PassPlan(rho_1, *statics1)
+    p2 = _PassPlan(rho_2, *statics2)
+    tmp = _run_pass(image, p1, pads[0], interpret)        # (out_h, src_w)
+    out_t = _run_pass(tmp.T, p2, pads[1], interpret)      # (out_w, out_h)
     return out_t.T
 
 
@@ -238,12 +259,9 @@ def apply_remap_pallas(image: jnp.ndarray, plan: RemapPlan,
     distortion map; matches apply_distortion_map(..., mode='bilinear') up
     to the two-pass cross-term (docstring above)."""
     p1, p2 = plan.pass1, plan.pass2
-    statics = (p1.th, p1.tw, p1.dv, p2.dv, p1.src_rows, p2.src_rows,
-               p1.out_h, p1.out_w, p2.out_h, p2.out_w,
-               plan.pad_top1, plan.pad_top2)
-    out = _apply(image, jnp.asarray(p1.r0), jnp.asarray(p1.rho),
-                 jnp.asarray(p2.r0), jnp.asarray(p2.rho), statics,
-                 interpret)
+    out = _apply(image, jnp.asarray(p1.rho), jnp.asarray(p2.rho),
+                 tuple(p1)[1:], tuple(p2)[1:],
+                 (plan.pad_top1, plan.pad_top2), interpret)
     if jnp.issubdtype(image.dtype, jnp.floating):
         return out.astype(image.dtype)
     return jnp.round(out).astype(image.dtype)

@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from photogrammetry_tpu.core.camera import keypoints_to_xy
 from photogrammetry_tpu.ops.brief import brief_bits, gaussian_pairs
@@ -317,6 +318,96 @@ def match_pair(f1: DescribedFrame, f2: DescribedFrame,
     xy2 = f2.xy[jnp.clip(idx2, 0)]
     return MatchedPair(xy1=xy1, xy2=xy2, idx2=idx2, dist=dist, mask=valid,
                        num=jnp.sum(valid).astype(jnp.int32))
+
+
+class PrecompMatches(NamedTuple):
+    """Sequence-level matching + epipolar gates, leading frame axis t.
+
+    Row t holds the (t, t-1) consecutive match (valid for t >= 1) and the
+    (t, t-2) skip match (valid for t >= 2); rows outside those ranges are
+    masked all-False.  idx arrays index the OLDER frame's keypoints.
+    """
+    idx1: jnp.ndarray    # (F, K) int32 match into frame t-1
+    good1: jnp.ndarray   # (F, K) bool  mask & epipolar inliers
+    num1: jnp.ndarray    # (F,) int32 raw mutual matches
+    idx2: jnp.ndarray    # (F, K) int32 match into frame t-2
+    good2: jnp.ndarray   # (F, K) bool
+    num2: jnp.ndarray    # (F,) int32
+
+
+@partial(jax.jit, static_argnames=("config", "num_samples"))
+def _match_gate_batch(feats: DescribedFrame, ts, dts, keys,
+                      config: FrontendConfig, threshold,
+                      num_samples: int):
+    """vmapped (match_pair | ransac gate) over (t, t-dt) frame pairs."""
+    from photogrammetry_tpu.sfm.epipolar import ransac_fundamental
+
+    def one(t, dt, sub):
+        f1 = jax.tree.map(lambda x: x[t], feats)
+        f2 = jax.tree.map(lambda x: x[t - dt], feats)
+        m = match_pair(f1, f2, config)
+        gate = ransac_fundamental(sub, m.xy1, m.xy2, m.mask,
+                                  threshold=threshold,
+                                  num_samples=num_samples)
+        return m.idx2, m.mask & gate.inliers, m.num
+
+    return jax.vmap(one)(ts, dts, keys)
+
+
+def precompute_matching(feats: DescribedFrame, config: FrontendConfig,
+                        key, num_frames: int, ransac_threshold: float,
+                        ransac_samples: int,
+                        chunk: int = 16) -> PrecompMatches:
+    """Whole-sequence consecutive + skip matching as a few batched
+    programs (the per-frame staged loop previously dispatched 2 matches,
+    2 RANSAC gates and ~4 eager glue ops per frame — each costing a full
+    sync-dispatch period on the tunnel runtime, docs/tpu_notes.md §7).
+
+    RNG: pair (t, dt) draws its gate key as fold_in(key, 2*t + (dt-1)) —
+    deterministic and order-independent, so chunking cannot change
+    results (but the stream differs from the sequential staged-loop
+    draws; seeds are not comparable across the two modes).
+    """
+    f = num_frames
+    kcap = feats.xy.shape[1]
+    pairs = [(t, 1) for t in range(1, f)] + [(t, 2) for t in range(2, f)]
+    idx = {(t, dt): i for i, (t, dt) in enumerate(pairs)}
+    n = len(pairs)
+    ts = np.asarray([p[0] for p in pairs], np.int32)
+    dts = np.asarray([p[1] for p in pairs], np.int32)
+    salts = np.asarray([2 * t + (dt - 1) for t, dt in pairs], np.uint32)
+    keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(
+        jnp.asarray(salts))
+
+    outs = []
+    chunk = max(1, min(chunk, n))
+    for s in range(0, n, chunk):
+        blk = slice(s, s + chunk)
+        tb, db, kb = ts[blk], dts[blk], keys[blk]
+        if len(tb) < chunk:  # pad tail to the compiled shape
+            reps = chunk - len(tb)
+            tb = np.concatenate([tb, np.repeat(tb[-1:], reps)])
+            db = np.concatenate([db, np.repeat(db[-1:], reps)])
+            kb = jnp.concatenate([kb, jnp.repeat(kb[-1:], reps, axis=0)])
+        outs.append(_match_gate_batch(
+            feats, jnp.asarray(tb), jnp.asarray(db), kb, config,
+            jnp.float32(ransac_threshold), ransac_samples))
+    cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:n], *outs)
+    all_idx, all_good, all_num = cat
+
+    def rows(dt):
+        sel = np.asarray([idx.get((t, dt), 0) for t in range(f)], np.int32)
+        has = np.asarray([(t, dt) in idx for t in range(f)])
+        gi = all_idx[jnp.asarray(sel)]
+        gg = all_good[jnp.asarray(sel)] & jnp.asarray(has)[:, None]
+        gn = jnp.where(jnp.asarray(has), all_num[jnp.asarray(sel)], 0)
+        return gi, gg, gn
+
+    i1, g1, n1 = rows(1)
+    i2, g2, n2 = rows(2)
+    del kcap
+    return PrecompMatches(idx1=i1, good1=g1, num1=n1,
+                          idx2=i2, good2=g2, num2=n2)
 
 
 @partial(jax.jit, static_argnames=())

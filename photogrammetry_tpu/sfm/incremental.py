@@ -119,6 +119,19 @@ class SfmConfig:
     # F-1) — usually the same frame the adaptive rule picks on low-
     # parallax starts, and more parallax (not less) when it differs.
     read_free: bool = False
+    # Sequence-level batched matching + epipolar gating
+    # (frontend.precompute_matching) and fused per-frame stage programs:
+    # the round-4 loop dispatched ~20 programs per steady frame (2
+    # matches, 2 RANSAC gates, ~8 eager glue ops, 6 stages) and the
+    # tunnel runtime charges a full synchronous round-trip per program —
+    # measured 9.8 fps where the device work supports far more (round-5
+    # measurement: async/zero-read dispatch is ~2.6x SLOWER per program,
+    # so fewer-programs is the only lever).  This mode precomputes all
+    # (t, t-1) and (t, t-2) matches+gates as a few batched programs and
+    # runs each steady frame as 5 fused programs (chain|PnP|motion-BA|
+    # map-update|window-BA).  RNG: gate keys come from fold_in streams,
+    # so seeds are not comparable with the staged-draw mode.
+    precompute_matching: bool = True
 
 
 @jax.jit
@@ -401,6 +414,91 @@ def _bootstrap_map(key, table: TrackTable, rs, ts, kmat, config: "SfmConfig",
     return rs, ts, table, sup_a[pick]
 
 
+@partial(jax.jit, static_argnames=("capacity",))
+def _chain_extend_device(table: TrackTable, kp_track_prev2, t, feats, pm,
+                         capacity: int):
+    """Frame-t track chaining as ONE program: slice the precomputed
+    matches/gates, merge consecutive + skip claims, extend the table.
+    Returns (table, kp_track_prev snapshot, chained-count scalar)."""
+    tid = merge_skip_matches(table.kp_track, kp_track_prev2,
+                             pm.idx1[t], pm.good1[t],
+                             pm.idx2[t], pm.good2[t], capacity)
+    kp_track_prev = table.kp_track
+    n_chained = jnp.sum(tid >= 0).astype(jnp.int32)
+    table = extend_tracks_with_tid(table, t, feats.xy[t],
+                                   feats.points.mask[t], tid)
+    return table, kp_track_prev, n_chained
+
+
+@partial(jax.jit, static_argnames=("min_inliers", "rescue_px", "threshold",
+                                   "num_samples"))
+def _pnp_rescue_pose(key, table: TrackTable, rs, ts, t, kmat,
+                     min_inliers: int, rescue_px: float, threshold: float,
+                     num_samples: int):
+    """_pnp_rescue_device plus the pose-row updates, as one program."""
+    pnp_mask = table.obs_mask[t] & table.has_point
+    key, r_t, t_t, diag = _pnp_rescue_device(
+        key, table.points, table.obs[t], pnp_mask, kmat,
+        rs[t - 1], ts[t - 1], min_inliers=min_inliers,
+        rescue_px=rescue_px, threshold=threshold, num_samples=num_samples)
+    return key, rs.at[t].set(r_t), ts.at[t].set(t_t), diag
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _motion_ba(rs, ts, table: TrackTable, kmat, t, iters: int):
+    """Motion-only BA on camera t (mask/fixed built in-program)."""
+    state = BAState(rs=rs, ts=ts, points=table.points)
+    prob = BAProblem(obs=table.obs,
+                     mask=table.obs_mask & table.has_point[None, :],
+                     k=kmat)
+    fixed = jnp.zeros((rs.shape[0],)).at[t].set(1.0)
+    res = bundle_adjust(state, prob, num_iterations=iters,
+                        fixed_cameras=fixed, optimize_points=False)
+    return res.state.rs, res.state.ts
+
+
+@partial(jax.jit, static_argnames=("reassociate", "nview"))
+def _map_update(table: TrackTable, rs, ts, kmat, t, feats,
+                reassociate_px, min_depth, max_depth,
+                reassociate: bool, nview: bool):
+    """Reassociation + triangulation of new tracks as one program."""
+    n_re = jnp.int32(0)
+    if reassociate:
+        table, n_re = reassociate_to_landmarks(
+            table, t, feats.xy[t], feats.points.mask[t],
+            rs[t], ts[t], kmat, reassociate_px)
+    if nview:
+        table = _triangulate_tracks_nview(table, rs, ts, kmat,
+                                          min_depth, max_depth)
+    else:
+        first, last = first_last_observations(table)
+        table = _triangulate_tracks(table, rs, ts, kmat, first, last,
+                                    min_depth, max_depth)
+    return table, n_re
+
+
+@partial(jax.jit, static_argnames=("window", "iters"))
+def _window_ba_step(rs, ts, table: TrackTable, kmat, t, prune_px,
+                    window: int, iters: int):
+    """Windowed BA + gauge rescale + observation pruning as one program."""
+    state = BAState(rs=rs, ts=ts, points=table.points)
+    prob = BAProblem(obs=table.obs,
+                     mask=table.obs_mask & table.has_point[None, :],
+                     k=kmat)
+    f = rs.shape[0]
+    w0 = jnp.maximum(0, t + 1 - window)
+    fr = jnp.arange(f)
+    fixed = ((fr >= w0) & (fr <= t)).astype(jnp.float32)
+    fixed = fixed.at[0].set(0.0)  # SE(3) gauge
+    res = bundle_adjust(state, prob, num_iterations=iters,
+                        fixed_cameras=fixed)
+    rs, ts = res.state.rs, res.state.ts
+    table = table._replace(points=res.state.points)
+    rs, ts, table = _rescale_gauge(rs, ts, table)
+    table = _prune_observations(table, rs, ts, kmat, prune_px)
+    return rs, ts, table, res.cost
+
+
 class DeviceSfmResult:
     """Device-side result: everything still on the chip, ZERO reads taken.
 
@@ -495,6 +593,17 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
     feats = precompute_frontend(jnp.asarray(frames, jnp.float32), pairs, fc,
                                 chunk=config.frontend_chunk)
 
+    use_pm = config.precompute_matching
+    pm = None
+    if use_pm:
+        from photogrammetry_tpu.sfm.frontend import precompute_matching
+
+        key, kmatch = jax.random.split(key)
+        pm = precompute_matching(feats, fc, kmatch, num_frames,
+                                 config.ransac_threshold,
+                                 config.ransac_samples // 2,
+                                 chunk=config.frontend_chunk)
+
     import os
 
     if checkpoint_path and resume and os.path.isfile(checkpoint_path):
@@ -541,44 +650,60 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                 and kp_track_prev2 is not None):
             carry = (table, rs, ts, key, kp_track_prev2)
             (table, rs, ts, key, kp_track_prev2), cost = steady_step(
-                feats, kmat, carry, jnp.int32(t))
+                feats, pm, kmat, carry, jnp.int32(t))
             costs.append(cost)
             frame_info.append({"frame": t, "pose_init": "fused_step"})
             prev2 = prev
-            prev = frame_features(feats, t)
+            prev = None if use_pm else frame_features(feats, t)
             continue
-        cur = frame_features(feats, t)
-        m = match_pair(cur, prev, fc)  # rows = current frame's keypoints
-        # Epipolar gating: only RANSAC-inlier matches may chain tracks
-        # (outlier matches would switch track identities and poison BA).
-        key, sub = jax.random.split(key)
-        gate = ransac_fundamental(sub, m.xy1, m.xy2, m.mask,
-                                  threshold=config.ransac_threshold,
-                                  num_samples=config.ransac_samples // 2)
-        good = m.mask & gate.inliers
-        kp_track_prev = table.kp_track
-        if prev2 is not None:
-            # Skip-frame matching: a single dropped detection/match no
-            # longer kills a track — unclaimed keypoints also match frame
-            # t-2 (own epipolar gate) and chain onto its tracks.
-            m2 = match_pair(cur, prev2, fc)
-            key, sub = jax.random.split(key)
-            gate2 = ransac_fundamental(sub, m2.xy1, m2.xy2, m2.mask,
-                                       threshold=config.ransac_threshold,
-                                       num_samples=config.ransac_samples // 2)
-            good2 = m2.mask & gate2.inliers
-            tid = merge_skip_matches(kp_track_prev, kp_track_prev2,
-                                     m.idx2, good, m2.idx2, good2,
-                                     config.track_capacity)
+        if use_pm:
+            # chaining as ONE program off the precomputed matches+gates
+            cur = None
+            kp2 = kp_track_prev2 if kp_track_prev2 is not None \
+                else jnp.full_like(table.kp_track, -1)
+            table, kp_track_prev, n_chained = _chain_extend_device(
+                table, kp2, jnp.int32(t), feats, pm,
+                config.track_capacity)
+            info = {"frame": t, "pose_init": "prior"}
+            if config.collect_diagnostics:
+                info.update(matches=int(pm.num1[t]),
+                            gated_matches=int(jnp.sum(pm.good1[t])),
+                            chained=int(n_chained))
         else:
-            tid = jnp.where(good, kp_track_prev[jnp.clip(m.idx2, 0)],
-                            -1).astype(jnp.int32)
-        table = extend_tracks_with_tid(table, jnp.int32(t), cur.xy,
-                                       cur.points.mask, tid)
-        info = {"frame": t, "pose_init": "prior"}
-        if config.collect_diagnostics:
-            info.update(matches=int(m.num), gated_matches=int(jnp.sum(good)),
-                        chained=int(jnp.sum(tid >= 0)))
+            cur = frame_features(feats, t)
+            m = match_pair(cur, prev, fc)  # rows = current frame's kps
+            # Epipolar gating: only RANSAC-inlier matches may chain tracks
+            # (outlier matches would switch track identities, poison BA).
+            key, sub = jax.random.split(key)
+            gate = ransac_fundamental(sub, m.xy1, m.xy2, m.mask,
+                                      threshold=config.ransac_threshold,
+                                      num_samples=config.ransac_samples // 2)
+            good = m.mask & gate.inliers
+            kp_track_prev = table.kp_track
+            if prev2 is not None:
+                # Skip-frame matching: a single dropped detection/match no
+                # longer kills a track — unclaimed keypoints also match
+                # frame t-2 (own epipolar gate) and chain onto its tracks.
+                m2 = match_pair(cur, prev2, fc)
+                key, sub = jax.random.split(key)
+                gate2 = ransac_fundamental(
+                    sub, m2.xy1, m2.xy2, m2.mask,
+                    threshold=config.ransac_threshold,
+                    num_samples=config.ransac_samples // 2)
+                good2 = m2.mask & gate2.inliers
+                tid = merge_skip_matches(kp_track_prev, kp_track_prev2,
+                                         m.idx2, good, m2.idx2, good2,
+                                         config.track_capacity)
+            else:
+                tid = jnp.where(good, kp_track_prev[jnp.clip(m.idx2, 0)],
+                                -1).astype(jnp.int32)
+            table = extend_tracks_with_tid(table, jnp.int32(t), cur.xy,
+                                           cur.points.mask, tid)
+            info = {"frame": t, "pose_init": "prior"}
+            if config.collect_diagnostics:
+                info.update(matches=int(m.num),
+                            gated_matches=int(jnp.sum(good)),
+                            chained=int(jnp.sum(tid >= 0)))
 
         if not map_ready:
             force = (t == num_frames - 1) or (t >= config.bootstrap_max_defer)
@@ -646,16 +771,24 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                 # (~45 ms measured); the old per-frame rescue readback
                 # alone capped the loop at a few frames/s while all device
                 # stages are ~0.2 ms warm (docs/tpu_notes.md §3).
-                pnp_mask = table.obs_mask[t] & table.has_point
-                key, r_t, t_t, diag = _pnp_rescue_device(
-                    key, table.points, table.obs[t], pnp_mask, kmat,
-                    rs[t - 1], ts[t - 1],
-                    min_inliers=config.min_pnp_inliers,
-                    rescue_px=config.pnp_rescue_px,
-                    threshold=config.pnp_threshold,
-                    num_samples=config.pnp_samples)
-                rs = rs.at[t].set(r_t)
-                ts = ts.at[t].set(t_t)
+                if use_pm:
+                    key, rs, ts, diag = _pnp_rescue_pose(
+                        key, table, rs, ts, jnp.int32(t), kmat,
+                        min_inliers=config.min_pnp_inliers,
+                        rescue_px=config.pnp_rescue_px,
+                        threshold=config.pnp_threshold,
+                        num_samples=config.pnp_samples)
+                else:
+                    pnp_mask = table.obs_mask[t] & table.has_point
+                    key, r_t, t_t, diag = _pnp_rescue_device(
+                        key, table.points, table.obs[t], pnp_mask, kmat,
+                        rs[t - 1], ts[t - 1],
+                        min_inliers=config.min_pnp_inliers,
+                        rescue_px=config.pnp_rescue_px,
+                        threshold=config.pnp_threshold,
+                        num_samples=config.pnp_samples)
+                    rs = rs.at[t].set(r_t)
+                    ts = ts.at[t].set(t_t)
                 if config.collect_diagnostics:
                     rescued, used, support_d, prior_med, pnp_inl, pnp_med \
                         = diag
@@ -670,26 +803,45 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                 rs = rs.at[t].set(rs[t - 1])
                 ts = ts.at[t].set(ts[t - 1])
             # motion-only BA on all frames so far (only camera t free)
-            state = BAState(rs=rs, ts=ts, points=table.points)
-            prob = BAProblem(obs=table.obs,
-                             mask=table.obs_mask & table.has_point[None, :],
-                             k=kmat)
-            fixed = jnp.zeros((num_frames,)).at[t].set(1.0)
-            res = bundle_adjust(state, prob, num_iterations=10,
-                                fixed_cameras=fixed, optimize_points=False)
-            rs, ts = res.state.rs, res.state.ts
+            if use_pm:
+                rs, ts = _motion_ba(rs, ts, table, kmat, jnp.int32(t),
+                                    iters=10)
+            else:
+                state = BAState(rs=rs, ts=ts, points=table.points)
+                prob = BAProblem(
+                    obs=table.obs,
+                    mask=table.obs_mask & table.has_point[None, :],
+                    k=kmat)
+                fixed = jnp.zeros((num_frames,)).at[t].set(1.0)
+                res = bundle_adjust(state, prob, num_iterations=10,
+                                    fixed_cameras=fixed,
+                                    optimize_points=False)
+                rs, ts = res.state.rs, res.state.ts
 
             # Map-guided re-association: re-attach keypoints whose
             # consecutive-frame chain broke to the landmark tracks they
             # project onto (now that frame t's pose is estimated).
-            if config.reassociate:
+            if config.reassociate and not use_pm:
                 table, n_re = reassociate_to_landmarks(
                     table, jnp.int32(t), cur.xy, cur.points.mask,
                     rs[t], ts[t], kmat, config.reassociate_px)
                 if config.collect_diagnostics:
                     info["reassociated"] = int(n_re)
 
-        if config.nview_triangulation:
+        if use_pm:
+            # reassociation + triangulation as one program; before the
+            # bootstrap (no poses) reassociation is skipped as before
+            table, n_re = _map_update(
+                table, rs, ts, kmat, jnp.int32(t), feats,
+                jnp.float32(config.reassociate_px),
+                config.min_depth, config.max_depth,
+                reassociate=config.reassociate
+                and info["pose_init"] != "bootstrap",
+                nview=config.nview_triangulation)
+            if config.collect_diagnostics and config.reassociate \
+                    and info["pose_init"] != "bootstrap":
+                info["reassociated"] = int(n_re)
+        elif config.nview_triangulation:
             table = _triangulate_tracks_nview(table, rs, ts, kmat,
                                               config.min_depth,
                                               config.max_depth)
@@ -699,38 +851,47 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                                         config.min_depth, config.max_depth)
 
         # windowed full BA: freeze cameras before the window and frame 0/1
-        state = BAState(rs=rs, ts=ts, points=table.points)
-        prob = BAProblem(obs=table.obs,
-                         mask=table.obs_mask & table.has_point[None, :],
-                         k=kmat)
-        w0 = max(0, t + 1 - config.window)
-        fixed = jnp.zeros((num_frames,))
-        fixed = fixed.at[jnp.arange(w0, t + 1)].set(1.0)
-        fixed = fixed.at[0].set(0.0)  # SE(3) gauge
-        if config.mesh is not None:
-            from photogrammetry_tpu.parallel.dist_ba import (
-                distributed_bundle_adjust,
-            )
-
-            res = distributed_bundle_adjust(
-                state, prob, config.mesh,
-                num_iterations=config.ba_iterations, fixed_cameras=fixed)
+        if use_pm and config.mesh is None:
+            rs, ts, table, cost_d = _window_ba_step(
+                rs, ts, table, kmat, jnp.int32(t),
+                jnp.float32(config.prune_px),
+                window=config.window, iters=config.ba_iterations)
+            costs.append(cost_d)
         else:
-            res = bundle_adjust(state, prob,
-                                num_iterations=config.ba_iterations,
-                                fixed_cameras=fixed)
-        rs, ts = res.state.rs, res.state.ts
-        table = table._replace(points=res.state.points)
-        # Monocular scale gauge: with only camera 0 frozen the similarity
-        # scale is a flat direction of the BA cost and long LM runs drift
-        # along it.  Rather than freezing camera 1 (which would anchor its
-        # two-view pose error forever), renormalize the reconstruction
-        # about camera 0's center so the 0-1 baseline stays unit length.
-        rs, ts, table = _rescale_gauge(rs, ts, table)
-        table = _prune_observations(table, rs, ts, kmat, config.prune_px)
-        # 0-d device scalar, NOT read here — per-frame cost readbacks cost
-        # one tunnel RTT each; they convert to floats once after the loop.
-        costs.append(res.cost)
+            state = BAState(rs=rs, ts=ts, points=table.points)
+            prob = BAProblem(obs=table.obs,
+                             mask=table.obs_mask & table.has_point[None, :],
+                             k=kmat)
+            w0 = max(0, t + 1 - config.window)
+            fixed = jnp.zeros((num_frames,))
+            fixed = fixed.at[jnp.arange(w0, t + 1)].set(1.0)
+            fixed = fixed.at[0].set(0.0)  # SE(3) gauge
+            if config.mesh is not None:
+                from photogrammetry_tpu.parallel.dist_ba import (
+                    distributed_bundle_adjust,
+                )
+
+                res = distributed_bundle_adjust(
+                    state, prob, config.mesh,
+                    num_iterations=config.ba_iterations, fixed_cameras=fixed)
+            else:
+                res = bundle_adjust(state, prob,
+                                    num_iterations=config.ba_iterations,
+                                    fixed_cameras=fixed)
+            rs, ts = res.state.rs, res.state.ts
+            table = table._replace(points=res.state.points)
+            # Monocular scale gauge: with only camera 0 frozen the
+            # similarity scale is a flat direction of the BA cost and long
+            # LM runs drift along it.  Rather than freezing camera 1
+            # (which would anchor its two-view pose error forever),
+            # renormalize the reconstruction about camera 0's center so
+            # the 0-1 baseline stays unit length.
+            rs, ts, table = _rescale_gauge(rs, ts, table)
+            table = _prune_observations(table, rs, ts, kmat,
+                                        config.prune_px)
+            # 0-d device scalar, NOT read here — per-frame cost readbacks
+            # cost one tunnel RTT each; converted once after the loop.
+            costs.append(res.cost)
         frame_info.append(info)
         prev2, kp_track_prev2 = prev, kp_track_prev
         prev = cur
@@ -878,7 +1039,7 @@ def _make_steady_step(config: SfmConfig, num_frames: int):
     fc = config.frontend
 
     @partial(jax.jit, static_argnames=())
-    def step(feats, kmat, carry, t):
+    def step(feats, pm, kmat, carry, t):
         table, rs, ts, key, kp_track_prev2 = carry
 
         def frame_at(i):
@@ -892,25 +1053,33 @@ def _make_steady_step(config: SfmConfig, num_frames: int):
                                   xy=feats.xy[i])
 
         cur = frame_at(t)
-        prev = frame_at(t - 1)
-        prev2 = frame_at(t - 2)
-
-        m = match_pair(cur, prev, fc)
-        key, sub = jax.random.split(key)
-        gate = ransac_fundamental(sub, m.xy1, m.xy2, m.mask,
-                                  threshold=config.ransac_threshold,
-                                  num_samples=config.ransac_samples // 2)
-        good = m.mask & gate.inliers
         kp_track_prev = table.kp_track
-        m2 = match_pair(cur, prev2, fc)
-        key, sub = jax.random.split(key)
-        gate2 = ransac_fundamental(sub, m2.xy1, m2.xy2, m2.mask,
-                                   threshold=config.ransac_threshold,
-                                   num_samples=config.ransac_samples // 2)
-        good2 = m2.mask & gate2.inliers
-        tid = merge_skip_matches(kp_track_prev, kp_track_prev2,
-                                 m.idx2, good, m2.idx2, good2,
-                                 config.track_capacity)
+        if pm is not None:
+            # precomputed matches/gates: same merge semantics, no in-step
+            # matching (matches the staged pm path bit-for-bit)
+            tid = merge_skip_matches(kp_track_prev, kp_track_prev2,
+                                     pm.idx1[t], pm.good1[t],
+                                     pm.idx2[t], pm.good2[t],
+                                     config.track_capacity)
+        else:
+            prev = frame_at(t - 1)
+            prev2 = frame_at(t - 2)
+            m = match_pair(cur, prev, fc)
+            key, sub = jax.random.split(key)
+            gate = ransac_fundamental(sub, m.xy1, m.xy2, m.mask,
+                                      threshold=config.ransac_threshold,
+                                      num_samples=config.ransac_samples // 2)
+            good = m.mask & gate.inliers
+            m2 = match_pair(cur, prev2, fc)
+            key, sub = jax.random.split(key)
+            gate2 = ransac_fundamental(sub, m2.xy1, m2.xy2, m2.mask,
+                                       threshold=config.ransac_threshold,
+                                       num_samples=config.ransac_samples
+                                       // 2)
+            good2 = m2.mask & gate2.inliers
+            tid = merge_skip_matches(kp_track_prev, kp_track_prev2,
+                                     m.idx2, good, m2.idx2, good2,
+                                     config.track_capacity)
         table = extend_tracks_with_tid(table, t, cur.xy,
                                        cur.points.mask, tid)
 
@@ -986,10 +1155,10 @@ def _make_steady_scan(config: SfmConfig, num_frames: int, t0: int):
     step = _make_steady_step(config, num_frames)
 
     @partial(jax.jit, static_argnames=())
-    def run(feats, kmat, table, rs, ts, key, kp_track_prev2):
+    def run(feats, pm, kmat, table, rs, ts, key, kp_track_prev2):
         ts_idx = jnp.arange(t0, num_frames)
         carry, costs = jax.lax.scan(
-            lambda c, t: step(feats, kmat, c, t),
+            lambda c, t: step(feats, pm, kmat, c, t),
             (table, rs, ts, key, kp_track_prev2), ts_idx)
         return carry, costs
 
@@ -1031,6 +1200,16 @@ def run_incremental_sfm_fused(frames: np.ndarray, k: np.ndarray,
     feats = detect_and_describe_batch_split(
         jnp.asarray(frames, jnp.float32), pairs, fc)
 
+    pm = None
+    if config.precompute_matching:
+        from photogrammetry_tpu.sfm.frontend import precompute_matching
+
+        key, kmatch = jax.random.split(key)
+        pm = precompute_matching(feats, fc, kmatch, num_frames,
+                                 config.ransac_threshold,
+                                 config.ransac_samples // 2,
+                                 chunk=config.frontend_chunk)
+
     def frame_at(i):
         from photogrammetry_tpu.sfm.frontend import DescribedFrame
         from photogrammetry_tpu.utils.padding import PaddedPoints
@@ -1059,29 +1238,36 @@ def run_incremental_sfm_fused(frames: np.ndarray, k: np.ndarray,
     t = 1
     while t < num_frames and not map_ready:
         cur = frame_at(t)
-        m = match_pair(cur, prev, fc)
-        key, sub = jax.random.split(key)
-        gate = ransac_fundamental(sub, m.xy1, m.xy2, m.mask,
-                                  threshold=config.ransac_threshold,
-                                  num_samples=config.ransac_samples // 2)
-        good = m.mask & gate.inliers
         kp_track_prev = table.kp_track
-        if prev2 is not None:
-            m2 = match_pair(cur, prev2, fc)
-            key, sub = jax.random.split(key)
-            gate2 = ransac_fundamental(sub, m2.xy1, m2.xy2, m2.mask,
-                                       threshold=config.ransac_threshold,
-                                       num_samples=config.ransac_samples
-                                       // 2)
-            good2 = m2.mask & gate2.inliers
-            tid = merge_skip_matches(kp_track_prev, kp_track_prev2,
-                                     m.idx2, good, m2.idx2, good2,
-                                     config.track_capacity)
+        if pm is not None:
+            kp2 = kp_track_prev2 if kp_track_prev2 is not None \
+                else jnp.full_like(table.kp_track, -1)
+            table, kp_track_prev, _ = _chain_extend_device(
+                table, kp2, jnp.int32(t), feats, pm,
+                config.track_capacity)
         else:
-            tid = jnp.where(good, kp_track_prev[jnp.clip(m.idx2, 0)],
-                            -1).astype(jnp.int32)
-        table = extend_tracks_with_tid(table, jnp.int32(t), cur.xy,
-                                       cur.points.mask, tid)
+            m = match_pair(cur, prev, fc)
+            key, sub = jax.random.split(key)
+            gate = ransac_fundamental(sub, m.xy1, m.xy2, m.mask,
+                                      threshold=config.ransac_threshold,
+                                      num_samples=config.ransac_samples // 2)
+            good = m.mask & gate.inliers
+            if prev2 is not None:
+                m2 = match_pair(cur, prev2, fc)
+                key, sub = jax.random.split(key)
+                gate2 = ransac_fundamental(sub, m2.xy1, m2.xy2, m2.mask,
+                                           threshold=config.ransac_threshold,
+                                           num_samples=config.ransac_samples
+                                           // 2)
+                good2 = m2.mask & gate2.inliers
+                tid = merge_skip_matches(kp_track_prev, kp_track_prev2,
+                                         m.idx2, good, m2.idx2, good2,
+                                         config.track_capacity)
+            else:
+                tid = jnp.where(good, kp_track_prev[jnp.clip(m.idx2, 0)],
+                                -1).astype(jnp.int32)
+            table = extend_tracks_with_tid(table, jnp.int32(t), cur.xy,
+                                           cur.points.mask, tid)
         both = table.obs_mask[0] & table.obs_mask[t]
         disp = float(jnp.where(
             jnp.sum(both) >= 16,
@@ -1138,7 +1324,7 @@ def run_incremental_sfm_fused(frames: np.ndarray, k: np.ndarray,
     if map_ready and t_boot + 1 < num_frames:
         run = _make_steady_scan(config, num_frames, t_boot + 1)
         (table, rs, ts, key, _), scan_costs = run(
-            feats, kmat, table, rs, ts, key, kp_track_prev2)
+            feats, pm, kmat, table, rs, ts, key, kp_track_prev2)
         for i in range(num_frames - (t_boot + 1)):
             costs.append(scan_costs[i])
             frame_info.append({"frame": t_boot + 1 + i,

