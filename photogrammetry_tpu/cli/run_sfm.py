@@ -21,6 +21,18 @@ def main(argv=None) -> int:
     ap.add_argument("--cx", type=float, default=None)
     ap.add_argument("--cy", type=float, default=None)
     ap.add_argument("--detection-threshold", type=float, default=20.0)
+    ap.add_argument("--pyramid-octaves", type=int, default=1,
+                    help=">1 runs the multi-scale pyramid frontend "
+                         "(scale-invariant tracking up to ~2^(octaves-1) "
+                         "apparent-scale change; keypoint and track "
+                         "capacity scale with octaves)")
+    ap.add_argument("--oriented-brief", action="store_true",
+                    help="steered (rotation-invariant) BRIEF descriptors "
+                         "in the tracking frontend (ops/brief.py)")
+    ap.add_argument("--no-precompute-matching", action="store_true",
+                    help="disable the batched sequence-level matching "
+                         "precompute (falls back to the round-4 "
+                         "sequential per-frame match+gate draws)")
     ap.add_argument("--frame-stride", type=int, default=1,
                     help="temporal subsampling: keep every Nth frame. "
                          "Near-static spacing starves two-view parallax "
@@ -179,10 +191,16 @@ def main(argv=None) -> int:
                      f"only {len(jax.devices())} visible")
         mesh = make_mesh(shape=(args.mesh,), axis_names=("tracks",),
                          devices=jax.devices()[:args.mesh])
+    octaves = max(1, args.pyramid_octaves)
     cfg = SfmConfig(frontend=FrontendConfig(
         detection_threshold=args.detection_threshold, max_keypoints=512,
-        reduction="nms", suppression_radius=4.0, hamming_threshold=80),
+        reduction="nms", suppression_radius=4.0, hamming_threshold=80,
+        oriented_brief=bool(args.oriented_brief)),
         mesh=mesh,
+        pyramid_octaves=octaves,
+        precompute_matching=not args.no_precompute_matching,
+        # keep headroom for the octave-merged keypoint sets
+        track_capacity=1024 * octaves,
         # per-frame diagnostic counters cost device->host reads (each one
         # permanently degrades dispatch on the tunnel runtime — tpu_notes
         # §3); the CLI report only uses end-of-run aggregates, and
@@ -201,11 +219,16 @@ def main(argv=None) -> int:
         elif args.submap_frames > 0:
             from photogrammetry_tpu.sfm.submaps import run_submap_sfm
 
-            res = run_submap_sfm(frames, k, cfg,
-                                 submap_frames=args.submap_frames,
-                                 overlap=args.submap_overlap,
-                                 restarts=max(1, args.restarts),
-                                 global_refine_rounds=args.submap_refine)
+            # with loop closure on, defer the cross-seam global BA until
+            # AFTER the loop-closed pose graph (BA is the final polish;
+            # running it first would be smoothed away again)
+            res = run_submap_sfm(
+                frames, k, cfg,
+                submap_frames=args.submap_frames,
+                overlap=args.submap_overlap,
+                restarts=max(1, args.restarts),
+                global_refine_rounds=(0 if args.loop_closure
+                                      else args.submap_refine))
         elif args.restarts > 1:
             from photogrammetry_tpu.sfm.incremental import (
                 run_incremental_sfm_robust,
@@ -292,6 +315,23 @@ def main(argv=None) -> int:
                     # poses consistent with the corrected landmarks (the
                     # quality report below reprojects them)
                     res.rs, res.ts = rs_out, ts_out
+            # submap mode: cross-seam global BA as the FINAL polish, on
+            # the loop-closed trajectory (merged overlap tracks give BA
+            # the seam-crossing residuals the pose graph never sees)
+            if hasattr(res, "submaps") and args.submap_refine > 0:
+                from photogrammetry_tpu.sfm.submaps import (
+                    refine_submaps_global,
+                )
+
+                rs_out, ts_out, pts_ref = refine_submaps_global(
+                    rs_out, ts_out, res.submaps, res.spans, k,
+                    len(frames), rounds=args.submap_refine,
+                    iterations=cfg.final_ba_iterations or 20,
+                    prune_px=cfg.prune_px, min_depth=cfg.min_depth,
+                    max_depth=cfg.max_depth)
+                centers_out = -np.einsum("fji,fj->fi", rs_out, ts_out)
+                res.rs, res.ts = rs_out, ts_out
+                res.points = pts_ref
 
     write_ply(args.cloud, res.points)
     traj = {"centers": centers_out.tolist(),

@@ -40,17 +40,28 @@ HALO = 4
 COL_PAD = 128
 
 
-def _make_kernel(tile_w: int):
+def _make_kernel(tile_w: int, batched: bool = False):
     def kernel(thr_ref, img_hbm, out_ref):
-        h = out_ref.shape[0]
-        w = out_ref.shape[1]
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+        if batched:
+            # leading grid dim = frame index (VERDICT r4 item 6: the
+            # batched production frontend previously pinned the XLA
+            # stencil because vmap-of-pallas_call was unexercised on the
+            # axon AOT; batching belongs in the kernel grid)
+            b = pl.program_id(0)
+            i = pl.program_id(1)
+            j = pl.program_id(2)
+            src = img_hbm.at[b]
+        else:
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            src = img_hbm
+        h = out_ref.shape[-2]
+        w = out_ref.shape[-1]
 
         def body(band, sem):
             copy = pltpu.make_async_copy(
-                img_hbm.at[pl.ds(i * TILE_H, TILE_H + 2 * HALO),
-                           pl.ds(j * tile_w, tile_w + COL_PAD)],
+                src.at[pl.ds(i * TILE_H, TILE_H + 2 * HALO),
+                       pl.ds(j * tile_w, tile_w + COL_PAD)],
                 band, sem)
             copy.start()
             copy.wait()
@@ -72,7 +83,11 @@ def _make_kernel(tile_w: int):
                 if k < 16:
                     best = jnp.maximum(best, run)
             score = jnp.minimum(best, 16)
-            out_ref[:] = jnp.where(score >= MIN_CONSECUTIVE, score, 0)
+            result = jnp.where(score >= MIN_CONSECUTIVE, score, 0)
+            if batched:
+                out_ref[0] = result
+            else:
+                out_ref[:] = result
 
         pl.run_scoped(
             body,
@@ -81,6 +96,47 @@ def _make_kernel(tile_w: int):
         )
 
     return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fast_score_map_pallas_batch(images: jnp.ndarray, threshold,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Batched drop-in for vmap(ops.fast.fast_score_map): (B, H, W) ->
+    (B, H, W) int32 score maps, frames as the leading KERNEL GRID
+    dimension (vmap-of-pallas_call is unexercised on the axon AOT;
+    in-grid batching is the supported form)."""
+    bsz, h, w = images.shape
+    img = images.astype(jnp.float32)
+
+    pad_h = (-h) % TILE_H
+    hp = h + pad_h
+    w128 = ((w + 127) // 128) * 128
+    tile_w = w128 if w128 <= 1920 else TILE_W
+    w_out = ((w + tile_w - 1) // tile_w) * tile_w
+    padded = jnp.pad(img, ((0, 0), (HALO, HALO + pad_h),
+                           (HALO, (w_out - w) + COL_PAD - HALO)))
+    thr = jnp.full((1,), threshold, jnp.float32)
+
+    out = pl.pallas_call(
+        _make_kernel(tile_w, batched=True),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, w_out), jnp.int32),
+        grid=(bsz, hp // TILE_H, w_out // tile_w),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold scalar
+            pl.BlockSpec(memory_space=pltpu.ANY),   # images stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, TILE_H, tile_w),
+                               lambda b, i, j: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(thr, padded)
+
+    score = out[:, :h, :w]
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+    interior = ((rows >= BORDER) & (rows < h - BORDER)
+                & (cols >= BORDER) & (cols < w - BORDER))
+    return jnp.where(interior[None], score, 0)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -61,20 +61,21 @@ def _roundup(a: int, b: int) -> int:
 class _PassPlan(NamedTuple):
     """One vertical-resample pass: statics + device arrays.
 
-    The per-tile DMA base is the affine form r0 = a_i*i + c_j*j + b with
-    STATIC integer coefficients (multiples of 8): the axon AOT's Mosaic
-    build crashes outright on DMA offsets read from SMEM
-    (scripts/probe_remap_features.py p3) while affine-in-program-id
-    offsets compile fine (p2, and kernels/fast_stencil.py).  The affine
-    fit's residual is folded into the shift window ``dv``."""
+    Dynamic per-tile source bases go through a scalar-prefetched SLAB
+    INDEX TABLE driving the input BlockSpec's index_map — the one
+    dynamic-gather form the axon AOT handles well (2 s compile;
+    raw SMEM-scalar DMA offsets crash its compile helper and
+    quadratic-in-program-id offsets take minutes —
+    scripts/probe_remap_features.py, scripts/probe_remap2.py).  The
+    source is consumed in (8, tw) slabs; slab s of tile (i, j) is source
+    block (slabs[i, j, s], j), and the kernel accumulates 8 row-broadcast
+    hat-weight MACs per slab into the revisited output block."""
     rho: np.ndarray       # (Hp, Wp) f32 source row per output element
-    a_i: int              # DMA base slope per tile row (multiple of 8)
-    c_j: int              # DMA base slope per tile col (multiple of 8)
-    b: int                # DMA base offset (multiple of 8)
+    slabs: np.ndarray     # (Ht, Wt, NS) int32 slab row-block indices
     th: int               # output tile rows
     tw: int               # output tile cols (lane multiple)
-    dv: int               # shift-window terms (multiple of 8)
-    src_rows: int         # padded source row count the DMA reads from
+    dv: int               # extra band rows beyond th (multiple of 8)
+    src_rows: int         # padded source row count (multiple of 8)
     out_h: int            # valid output rows (pre-padding)
     out_w: int            # valid output cols
 
@@ -102,39 +103,28 @@ def _build_pass(rho: np.ndarray, src_rows: int, th: int, tw: int,
     h, w = rho.shape
     ht, wt = _cdiv(h, th), _cdiv(w, tw)
     padded = np.pad(rho, ((0, ht * th - h), (0, wt * tw - w)), mode="edge")
-    # rel = rho - global output row; the kernel's shift-window coordinate
-    # is rho_local - y_local = rel + ty - r0 (y_local = iota over the tile)
-    rel_full = padded - np.arange(ht * th, dtype=rho.dtype)[:, None]
-    rel = rel_full.reshape(ht, th, wt, tw)
-    lo = np.floor(rel.min(axis=(1, 3)))             # (ht, wt)
-    hi = np.ceil(rel.max(axis=(1, 3)))
-    ty = (np.arange(ht) * th)[:, None]
-    r0_true = ty + lo - 1.0                          # ideal per-tile base
-    # static affine fit r0 ~= a_i*i + c_j*j + b, coefficients multiples of
-    # 8 (aligned DMA rows); residual widens the shift window instead
-    ii = np.arange(ht, dtype=np.float64)[:, None] * np.ones((1, wt))
-    jj = np.arange(wt, dtype=np.float64)[None, :] * np.ones((ht, 1))
-    a_i = th if ht == 1 else \
-        int(np.round(np.mean(r0_true[-1] - r0_true[0])
-                     / (8.0 * (ht - 1))) * 8)
-    c_j = 0 if wt == 1 else \
-        int(np.round(np.mean(r0_true[:, -1] - r0_true[:, 0])
-                     / (8.0 * (wt - 1))) * 8)
-    res = r0_true - a_i * ii - c_j * jj
-    b = int(np.floor(res.min() / 8.0) * 8)
-    emax = int(np.ceil(res.max() - b))              # 0 <= e <= emax
-    # coverage: rel + ty - (a_i*i + c_j*j + b) in [1, (hi-lo)+1+emax]
-    span = int(np.max(hi - lo)) + emax + 3
-    dv = _roundup(max(span, 8), 8)
-    r0_all = (a_i * ii + c_j * jj + b).astype(np.int64)
-    pad_top = int(max(0, -r0_all.min()))
-    b += pad_top
-    pad_bot = int(max(0,
-                      int(r0_all.max()) + pad_top + th + dv
-                      - (src_rows + pad_top)))
-    plan = _PassPlan(rho=padded + pad_top, a_i=a_i, c_j=c_j, b=b,
-                     th=th, tw=tw, dv=dv,
-                     src_rows=src_rows + pad_top + pad_bot,
+    tiles = padded.reshape(ht, th, wt, tw)
+    lo = np.floor(tiles.min(axis=(1, 3)))           # (ht, wt) abs rows
+    hi = np.ceil(tiles.max(axis=(1, 3)))
+    r0 = (np.floor((lo - 1) / 8.0) * 8.0).astype(np.int64)
+    # band rows [r0, r0+br) must contain both interp taps of every
+    # element: taps span [lo, hi+1]; r0 >= lo-9 -> br >= (hi-lo)+10
+    dv = _roundup(int(np.max(hi - lo)) + 10, 8)
+    br = _roundup(dv + 8, 8)                         # band rows per tile
+    pad_top = int(max(0, -r0.min()))
+    r0 = r0 + pad_top
+    total_rows = _roundup(
+        max(int(r0.max()) + br, src_rows + pad_top), 8)
+    pad_bot = total_rows - (src_rows + pad_top)
+    ns = br // 8
+    slabs = (r0[..., None] // 8
+             + np.arange(ns, dtype=np.int64)).astype(np.int32)
+    # device-resident ONCE at build time: re-uploading the (H, W) rho per
+    # apply call costs ~45 ms of tunnel RTT + transfer each (measured:
+    # 430 ms/apply with per-call uploads vs ~15 ms/pass without)
+    plan = _PassPlan(rho=jnp.asarray(padded + pad_top, jnp.float32),
+                     slabs=jnp.asarray(slabs),
+                     th=th, tw=tw, dv=dv, src_rows=total_rows,
                      out_h=out_h, out_w=out_w)
     return plan, pad_top, pad_bot
 
@@ -188,34 +178,23 @@ def build_remap_plan(dist_map: np.ndarray, src_shape: tuple,
                      out_h=out_h, out_w=out_w)
 
 
-def _make_kernel(th: int, tw: int, dv: int, a_i: int, c_j: int, b: int):
-    br = th + dv
-
-    def kernel(src_hbm, rho_ref, out_ref):
+def _make_kernel(th: int, tw: int):
+    def kernel(slab_tab, slab_ref, rho_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
+        s = pl.program_id(2)
 
-        def body(band, sem):
-            r0 = pl.multiple_of(a_i * i + c_j * j + b, 8)
-            copy = pltpu.make_async_copy(
-                src_hbm.at[pl.ds(r0, br), pl.ds(j * tw, tw)], band, sem)
-            copy.start()
-            copy.wait()
-            rho_l = rho_ref[...] - r0.astype(jnp.float32)
-            # Mosaic's tpu.iota is integer-only; cast after
-            y = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
-                .astype(jnp.float32)
-            acc = jnp.zeros((th, tw), jnp.float32)
-            for d in range(dv):
-                w = jnp.maximum(1.0 - jnp.abs(rho_l - (y + d)), 0.0)
-                acc = acc + band[d:d + th, :] * w
-            out_ref[:] = acc
+        @pl.when(s == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-        pl.run_scoped(
-            body,
-            pltpu.VMEM((br, tw), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        )
+        rho = rho_ref[...]
+        base = (slab_tab[i, j, s] * 8).astype(jnp.float32)
+        acc = out_ref[...]
+        for r in range(8):
+            w = jnp.maximum(1.0 - jnp.abs(rho - (base + r)), 0.0)
+            acc = acc + slab_ref[r:r + 1, :] * w
+        out_ref[:] = acc
 
     return kernel
 
@@ -227,29 +206,39 @@ def _run_pass(src: jnp.ndarray, plan: _PassPlan, pad_top: int,
     pad_bot = plan.src_rows - pad_top - src.shape[0]
     src_p = jnp.pad(src.astype(jnp.float32),
                     ((pad_top, pad_bot), (0, wp - src.shape[1])))
-    out = pl.pallas_call(
-        _make_kernel(plan.th, plan.tw, plan.dv, plan.a_i, plan.c_j, plan.b),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-        grid=(hp // plan.th, wp // plan.tw),
+    ht, wt, ns = plan.slabs.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ht, wt, ns),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # source stays in HBM
-            pl.BlockSpec((plan.th, plan.tw), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),  # rho tile
+            # slab s of tile (i, j): source row-block slabs[i, j, s]
+            pl.BlockSpec((8, plan.tw),
+                         lambda i, j, s, tab: (tab[i, j, s], j)),
+            pl.BlockSpec((plan.th, plan.tw),
+                         lambda i, j, s, tab: (i, j)),   # rho tile
         ],
-        out_specs=pl.BlockSpec((plan.th, plan.tw), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((plan.th, plan.tw),
+                               lambda i, j, s, tab: (i, j)),
+    )
+    out = pl.pallas_call(
+        _make_kernel(plan.th, plan.tw),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(src_p, jnp.asarray(plan.rho))
+    )(jnp.asarray(plan.slabs), src_p, jnp.asarray(plan.rho))
     return out[:plan.out_h, :plan.out_w]
 
 
-@partial(jax.jit, static_argnames=("statics1", "statics2", "pads",
-                                   "interpret"))
-def _apply(image, rho_1, rho_2, statics1, statics2, pads, interpret):
-    p1 = _PassPlan(rho_1, *statics1)
-    p2 = _PassPlan(rho_2, *statics2)
-    tmp = _run_pass(image, p1, pads[0], interpret)        # (out_h, src_w)
-    out_t = _run_pass(tmp.T, p2, pads[1], interpret)      # (out_w, out_h)
+@partial(jax.jit, static_argnames=("statics", "pad_top", "interpret"))
+def _pass1_program(image, rho, slabs, statics, pad_top, interpret):
+    return _run_pass(image.astype(jnp.float32),
+                     _PassPlan(rho, slabs, *statics), pad_top, interpret)
+
+
+@partial(jax.jit, static_argnames=("statics", "pad_top", "interpret"))
+def _pass2_program(tmp, rho, slabs, statics, pad_top, interpret):
+    out_t = _run_pass(tmp.T, _PassPlan(rho, slabs, *statics), pad_top,
+                      interpret)
     return out_t.T
 
 
@@ -257,11 +246,18 @@ def apply_remap_pallas(image: jnp.ndarray, plan: RemapPlan,
                        interpret: bool = False) -> jnp.ndarray:
     """Remap ``image`` ((H_s, W_s), any real dtype) through the plan's
     distortion map; matches apply_distortion_map(..., mode='bilinear') up
-    to the two-pass cross-term (docstring above)."""
+    to the two-pass cross-term (docstring above).
+
+    Dispatched as TWO programs (one pallas pass each): fusing both passes
+    plus the transposes into one program ran ~12x slower on the tunnel
+    runtime (the §7 large-program serialization pathology; measured
+    370 ms fused vs ~15 ms/pass split, scripts/bench_remap_overhead.py).
+    """
     p1, p2 = plan.pass1, plan.pass2
-    out = _apply(image, jnp.asarray(p1.rho), jnp.asarray(p2.rho),
-                 tuple(p1)[1:], tuple(p2)[1:],
-                 (plan.pad_top1, plan.pad_top2), interpret)
+    tmp = _pass1_program(image, p1.rho, p1.slabs,
+                         tuple(p1)[2:], plan.pad_top1, interpret)
+    out = _pass2_program(tmp, p2.rho, p2.slabs,
+                         tuple(p2)[2:], plan.pad_top2, interpret)
     if jnp.issubdtype(image.dtype, jnp.floating):
         return out.astype(image.dtype)
     return jnp.round(out).astype(image.dtype)

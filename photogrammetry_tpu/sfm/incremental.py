@@ -132,6 +132,13 @@ class SfmConfig:
     # map-update|window-BA).  RNG: gate keys come from fold_in streams,
     # so seeds are not comparable with the staged-draw mode.
     precompute_matching: bool = True
+    # Multi-scale pyramid frontend (frontend.detect_and_describe_*_pyramid):
+    # octaves > 1 detects/describes on power-of-two scales and merges, so
+    # features survive apparent-scale changes up to ~2^(octaves-1)
+    # (the reference's descriptor is single-scale, Keypoint.cs:29-57).
+    # Keypoint capacity becomes octaves x frontend.max_keypoints; scale
+    # track_capacity accordingly.
+    pyramid_octaves: int = 1
 
 
 @jax.jit
@@ -579,7 +586,8 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
     kmat = jnp.asarray(k, jnp.float32)
 
     table = make_track_table(num_frames, config.track_capacity,
-                             fc.max_keypoints)
+                             fc.max_keypoints
+                             * max(1, config.pyramid_octaves))
     rs = jnp.tile(jnp.eye(3)[None], (num_frames, 1, 1))
     ts = jnp.zeros((num_frames, 3))
     costs = []
@@ -591,7 +599,8 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
     # ~45 ms-RTT tunnel) plus 3 detect dispatches per frame previously
     # dominated the steady-state loop (docs/tpu_notes.md §6).
     feats = precompute_frontend(jnp.asarray(frames, jnp.float32), pairs, fc,
-                                chunk=config.frontend_chunk)
+                                chunk=config.frontend_chunk,
+                                octaves=max(1, config.pyramid_octaves))
 
     use_pm = config.precompute_matching
     pm = None
@@ -1187,8 +1196,6 @@ def run_incremental_sfm_fused(frames: np.ndarray, k: np.ndarray,
     No checkpointing or per-frame diagnostics in this mode; requires
     >= 2 steady frames and mesh=None.
     """
-    from photogrammetry_tpu.sfm.frontend import detect_and_describe_batch_split
-
     config = config or SfmConfig()
     assert config.mesh is None, "fused mode is single-device"
     fc = config.frontend
@@ -1197,8 +1204,9 @@ def run_incremental_sfm_fused(frames: np.ndarray, k: np.ndarray,
     pairs = make_pairs(fc)
     kmat = jnp.asarray(k, jnp.float32)
 
-    feats = detect_and_describe_batch_split(
-        jnp.asarray(frames, jnp.float32), pairs, fc)
+    feats = precompute_frontend(jnp.asarray(frames, jnp.float32), pairs,
+                                fc, chunk=config.frontend_chunk,
+                                octaves=max(1, config.pyramid_octaves))
 
     pm = None
     if config.precompute_matching:
@@ -1221,7 +1229,8 @@ def run_incremental_sfm_fused(frames: np.ndarray, k: np.ndarray,
         return DescribedFrame(points=pts, bits=feats.bits[i], xy=feats.xy[i])
 
     table = make_track_table(num_frames, config.track_capacity,
-                             fc.max_keypoints)
+                             fc.max_keypoints
+                             * max(1, config.pyramid_octaves))
     rs = jnp.tile(jnp.eye(3)[None], (num_frames, 1, 1))
     ts = jnp.zeros((num_frames, 3))
     costs = []

@@ -132,6 +132,55 @@ def orbit_trajectory(cfg: StarSceneConfig, total_angle: float = 1.2):
     return np.stack(rs), np.stack(ts), np.stack(centers)
 
 
+def dolly_trajectory(cfg: StarSceneConfig, z_travel: float,
+                     lateral: float = 0.3):
+    """Forward dolly toward the star (plus a small lateral slide so the
+    two-view bootstrap is not a pure-forward degenerate motion): apparent
+    feature scale grows by depth/(depth - z_travel) over the sequence —
+    the scale-change stressor for the pyramid frontend."""
+    rs, ts, centers = [], [], []
+    for i in range(cfg.num_frames):
+        a = i / max(cfg.num_frames - 1, 1)
+        center = np.array([lateral * a, 0.0, z_travel * a])
+        r = np.eye(3)
+        rs.append(r)
+        ts.append(-r @ center)
+        centers.append(center)
+    return np.stack(rs), np.stack(ts), np.stack(centers)
+
+
+def roll_trajectory(cfg: StarSceneConfig, total_roll: float,
+                    lateral: float = 0.6):
+    """Lateral pan with in-plane camera ROLL accumulating to
+    ``total_roll`` radians — the rotation-invariance stressor for the
+    steered-BRIEF frontend (an unoriented descriptor dies beyond ~20 deg
+    of roll)."""
+    rs, ts, centers = [], [], []
+    for i in range(cfg.num_frames):
+        a = i / max(cfg.num_frames - 1, 1)
+        phi = total_roll * a
+        cphi, sphi = np.cos(phi), np.sin(phi)
+        r = np.array([[cphi, -sphi, 0.0],
+                      [sphi, cphi, 0.0],
+                      [0.0, 0.0, 1.0]], np.float64)
+        center = np.array([lateral * (a - 0.5) * 2.0, 0.0, 0.0])
+        rs.append(r)
+        ts.append(-r @ center)
+        centers.append(center)
+    return np.stack(rs), np.stack(ts), np.stack(centers)
+
+
+def generate_custom_sequence(cfg: StarSceneConfig, rs, ts, centers):
+    """Render a sequence for externally-built ground-truth poses."""
+    dots, _ = dot_points_3d(cfg)
+    pts = np.concatenate([star_points_3d(cfg), dots])
+    k = intrinsics(cfg)
+    frames = np.stack([render_frame(cfg, rs[i], ts[i], k)
+                       for i in range(cfg.num_frames)])
+    return dict(frames=frames, k=k, rs=rs, ts=ts, centers=centers,
+                points=pts, config=cfg)
+
+
 def generate_orbit_sequence(cfg: StarSceneConfig | None = None,
                             total_angle: float = 1.2):
     """Like generate_sequence but on the orbit trajectory."""
