@@ -77,6 +77,18 @@ def main() -> None:
     results.append({"metric": "distortion_map_1920x1080", "value": dt * 1e3,
                     "unit": "ms", "vs_baseline": 7.66 / dt})
 
+    # --- dewarp APPLY 1920x1080 (reference headline: cv2.remap
+    # 8-16 ms, warping.py:149-161 / stats.json entries 18-32; round 4 the
+    # chip LOST this op at 87 ms element-gather-bound — the separable
+    # two-pass Pallas remap wins it back)
+    from photogrammetry_tpu.ops.dewarp import make_distortion_applier
+
+    dmap = gen(coeffs)
+    apply = make_distortion_applier(dmap, (1080, 1920))
+    dt = timed(apply, img, iters=50)
+    results.append({"metric": "dewarp_apply_1920x1080", "value": dt * 1e3,
+                    "unit": "ms", "vs_baseline": 0.012 / dt})
+
     # --- BA iterations/s (north-star metric; 16 cams x 4096 landmarks)
     f, t = 16, 4096
     k = jnp.array([[520., 0, 320], [0, 520., 240], [0, 0, 1]])

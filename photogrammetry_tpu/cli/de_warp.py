@@ -19,6 +19,11 @@ def main(argv=None) -> int:
                     default=[3e-4, 1e-7, 0.0, 0.0, 0.0])
     ap.add_argument("--cache-dir", default="./data/distortion_maps")
     ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--fast-apply", action="store_true",
+                    help="separable two-pass Pallas remap (2-3 ms at "
+                         "1080p on TPU vs ~90 ms gather; approximate to "
+                         "~1/255 mean on the radial model — the exact "
+                         "gather path stays the default)")
     ap.add_argument("--stats", default=None,
                     help="append timing stats to this JSON log")
     args = ap.parse_args(argv)
@@ -45,8 +50,17 @@ def main(argv=None) -> int:
             dist_map = DistortionMapCache(args.cache_dir).get_or_generate(
                 h, w, args.coefficients)
     with timer.stage("apply_map"):
-        out = timer.block(apply_distortion_map(jnp.asarray(img),
-                                               jnp.asarray(dist_map)))
+        if args.fast_apply:
+            from photogrammetry_tpu.ops.dewarp import (
+                make_distortion_applier,
+            )
+
+            apply = make_distortion_applier(dist_map, (h, w),
+                                            use_pallas=True)
+            out = timer.block(apply(jnp.asarray(img)))
+        else:
+            out = timer.block(apply_distortion_map(jnp.asarray(img),
+                                                   jnp.asarray(dist_map)))
 
     out_path = args.output or args.image.rsplit(".", 1)[0] + "_dewarped.png"
     write_image(out_path, np.asarray(out))

@@ -97,6 +97,10 @@ def main(argv=None) -> int:
                          "(sfm/submaps.py): track capacity scales with "
                          "sequence length instead of one fixed table")
     ap.add_argument("--submap-overlap", type=int, default=4)
+    ap.add_argument("--submap-prior-weight", type=float, default=100.0,
+                    help="trajectory-anchor weight for the cross-seam "
+                         "global BA (0 = pure reprojection; large values "
+                         "pin the pose-graph trajectory)")
     ap.add_argument("--submap-refine", type=int, default=2,
                     help="cross-seam global refinement rounds after the "
                          "pose graph: merged overlap tracks are "
@@ -163,16 +167,18 @@ def main(argv=None) -> int:
                 any(args.distortion_coeffs):
             import jax.numpy as jnp
 
-            from photogrammetry_tpu.ops.dewarp import apply_distortion_map
+            from photogrammetry_tpu.ops.dewarp import (
+                make_distortion_applier,
+            )
             from photogrammetry_tpu.store.cache import DistortionMapCache
 
             with timer.stage("dewarp"):
                 dmap = jnp.asarray(DistortionMapCache(args.dewarp_cache)
                                    .get_or_generate(h, w,
                                                     args.distortion_coeffs))
+                apply = make_distortion_applier(dmap, (h, w))
                 frames = np.stack([
-                    np.asarray(apply_distortion_map(jnp.asarray(f), dmap))
-                    for f in frames])
+                    np.asarray(apply(jnp.asarray(f))) for f in frames])
         fx = args.fx if args.fx is not None else 1.2 * w
         if fx <= 0:
             ap.error(f"--fx must be positive, got {fx}")
@@ -317,18 +323,41 @@ def main(argv=None) -> int:
                     res.rs, res.ts = rs_out, ts_out
             # submap mode: cross-seam global BA as the FINAL polish, on
             # the loop-closed trajectory (merged overlap tracks give BA
-            # the seam-crossing residuals the pose graph never sees)
+            # the seam-crossing residuals the pose graph never sees, and
+            # loop-edge track fusion carries the revisit constraints so
+            # BA cannot re-drift the closed loops)
             if hasattr(res, "submaps") and args.submap_refine > 0:
+                from photogrammetry_tpu.sfm.epipolar import (
+                    ransac_fundamental,
+                )
+                from photogrammetry_tpu.sfm.frontend import match_pair
                 from photogrammetry_tpu.sfm.submaps import (
                     refine_submaps_global,
                 )
 
+                loop_links = []
+                lkey = jax.random.PRNGKey(11)
+                for fa, fb in loop_report["loop_edges"] \
+                        if loop_report else []:
+                    m = match_pair(feats[fa], feats[fb], cfg.frontend)
+                    lkey, sub = jax.random.split(lkey)
+                    gate = ransac_fundamental(
+                        sub, m.xy1, m.xy2, m.mask,
+                        threshold=cfg.ransac_threshold,
+                        num_samples=cfg.ransac_samples // 2)
+                    good = np.asarray(m.mask & gate.inliers)
+                    xy1 = np.asarray(m.xy1)
+                    xy2 = np.asarray(m.xy2)
+                    for i in np.nonzero(good)[0]:
+                        loop_links.append((fa, tuple(xy1[i]),
+                                           fb, tuple(xy2[i])))
                 rs_out, ts_out, pts_ref = refine_submaps_global(
                     rs_out, ts_out, res.submaps, res.spans, k,
                     len(frames), rounds=args.submap_refine,
                     iterations=cfg.final_ba_iterations or 20,
                     prune_px=cfg.prune_px, min_depth=cfg.min_depth,
-                    max_depth=cfg.max_depth)
+                    max_depth=cfg.max_depth, loop_links=loop_links,
+                    prior_weight=args.submap_prior_weight)
                 centers_out = -np.einsum("fji,fj->fi", rs_out, ts_out)
                 res.rs, res.ts = rs_out, ts_out
                 res.points = pts_ref

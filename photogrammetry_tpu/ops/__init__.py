@@ -12,6 +12,7 @@ from photogrammetry_tpu.ops.nms import anms_keypoints, nms_keypoints
 from photogrammetry_tpu.ops.dewarp import (
     generate_distortion_map,
     apply_distortion_map,
+    make_distortion_applier,
     solve_undistorted_radius,
 )
 from photogrammetry_tpu.ops.cluster import grid_cluster_keypoints

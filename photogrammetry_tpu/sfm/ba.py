@@ -125,7 +125,8 @@ def _inv3(m):
 
 
 def schur_solve(r, j_cam, j_pt, lam, fixed_cameras,
-                use_pallas: bool = False):
+                use_pallas: bool = False,
+                h_prior=None, b_prior=None):
     """One damped Gauss-Newton step via the Schur complement.
 
     Args:
@@ -144,6 +145,13 @@ def schur_solve(r, j_cam, j_pt, lam, fixed_cameras,
     w_cp = jnp.einsum("ftri,ftrj->ftij", j_cam, j_pt)          # (F,T,6,3)
     b_c = -jnp.einsum("ftri,ftr->fi", j_cam, r)                # (F,6)
     b_p = -jnp.einsum("ftri,ftr->ti", j_pt, r)                 # (T,3)
+
+    # Pose-prior (trajectory anchor) contribution: Tikhonov block w^2 I on
+    # the camera diagonal plus its right-hand side (bundle_adjust's
+    # pose_prior option).
+    if h_prior is not None:
+        h_cc = h_cc + h_prior[:, None, None] * jnp.eye(6)
+        b_c = b_c + b_prior
 
     # LM damping (multiplicative on the diagonal).
     eye6 = jnp.eye(6)
@@ -200,18 +208,31 @@ class BAResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("num_iterations", "optimize_points",
-                                   "use_pallas_schur"))
+                                   "use_pallas_schur", "use_pose_prior"))
 def bundle_adjust(state: BAState, prob: BAProblem,
                   num_iterations: int = 20,
                   huber_delta: float = 3.0,
                   init_lambda: float = 1e-3,
                   fixed_cameras: jnp.ndarray | None = None,
                   optimize_points: bool = True,
-                  use_pallas_schur: bool | None = None) -> BAResult:
+                  use_pallas_schur: bool | None = None,
+                  use_pose_prior: bool = False,
+                  prior_rs: jnp.ndarray | None = None,
+                  prior_ts: jnp.ndarray | None = None,
+                  prior_weight: float = 0.0) -> BAResult:
     """Levenberg-Marquardt bundle adjustment (static iteration count).
 
     fixed_cameras: (F,) float mask; 0 freezes a camera.  Defaults to freezing
     camera 0 (gauge).  optimize_points=False gives motion-only BA.
+
+    use_pose_prior=True adds a trajectory-anchor term
+    w^2/2 (||log(R R_p^T)||^2 + ||t - t_p||^2) per camera toward
+    (prior_rs, prior_ts): Gauss-Newton contributions w^2 I on the camera
+    block and -w^2 v on the rhs, with the prior energy included in the
+    LM accept test.  Used by the submap cross-seam global BA, where a
+    pure-reprojection refinement of a long monocular arc drifts into
+    bas-relief basins the pose graph had already excluded (measured on
+    the 201-frame stress; sfm/submaps.py).
 
     use_pallas_schur: None = auto — OFF everywhere as of round 4: the
     earlier "Pallas wins at F <= 16, T <= 2048" rule came from the no-op-
@@ -221,14 +242,30 @@ def bundle_adjust(state: BAState, prob: BAProblem,
     T4096: 203 vs 236 ms).  The kernel remains available and
     parity-tested for explicit opt-in.
     """
+    from photogrammetry_tpu.core.lie import so3_log
+
     f = state.rs.shape[0]
     if use_pallas_schur is None:
         use_pallas_schur = False
     if fixed_cameras is None:
         fixed_cameras = jnp.ones((f,)).at[0].set(0.0)
 
+    w2 = jnp.float32(prior_weight) ** 2
+
+    def prior_terms(st):
+        """(energy, b_prior (F,6)) of the pose-anchor residuals."""
+        v_rot = jax.vmap(so3_log)(
+            jnp.einsum("fij,fkj->fik", st.rs, prior_rs))
+        v_t = st.ts - prior_ts
+        e = 0.5 * w2 * (jnp.sum(v_rot ** 2) + jnp.sum(v_t ** 2))
+        b = -w2 * jnp.concatenate([v_rot, v_t], axis=-1)
+        return e, b
+
     _, _, _, cost0, nvalid0 = residuals_and_jacobians(state, prob,
                                                       huber_delta)
+    if use_pose_prior:
+        e0, _ = prior_terms(state)
+        cost0 = cost0 + e0
 
     def body(carry, _):
         state, lam, cost, nvalid = carry
@@ -236,11 +273,20 @@ def bundle_adjust(state: BAState, prob: BAProblem,
                                                        huber_delta)
         if not optimize_points:
             j_pt = jnp.zeros_like(j_pt)
+        if use_pose_prior:
+            _, b_pr = prior_terms(state)
+            h_pr = jnp.full((f,), w2)
+        else:
+            h_pr = b_pr = None
         delta_c, delta_p = schur_solve(r, j_cam, j_pt, lam, fixed_cameras,
-                                       use_pallas=use_pallas_schur)
+                                       use_pallas=use_pallas_schur,
+                                       h_prior=h_pr, b_prior=b_pr)
         cand = apply_step(state, delta_c, delta_p, optimize_points)
         _, _, _, new_cost, new_nvalid = residuals_and_jacobians(
             cand, prob, huber_delta)
+        if use_pose_prior:
+            e_c, _ = prior_terms(cand)
+            new_cost = new_cost + e_c
         # Support guard: validity is state-dependent, so a diverged step
         # that throws observations behind the cameras lowers the cost for
         # free.  Reject any step losing >10% of the current support.

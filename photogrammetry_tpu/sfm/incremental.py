@@ -451,61 +451,6 @@ def _pnp_rescue_pose(key, table: TrackTable, rs, ts, t, kmat,
     return key, rs.at[t].set(r_t), ts.at[t].set(t_t), diag
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def _motion_ba(rs, ts, table: TrackTable, kmat, t, iters: int):
-    """Motion-only BA on camera t (mask/fixed built in-program)."""
-    state = BAState(rs=rs, ts=ts, points=table.points)
-    prob = BAProblem(obs=table.obs,
-                     mask=table.obs_mask & table.has_point[None, :],
-                     k=kmat)
-    fixed = jnp.zeros((rs.shape[0],)).at[t].set(1.0)
-    res = bundle_adjust(state, prob, num_iterations=iters,
-                        fixed_cameras=fixed, optimize_points=False)
-    return res.state.rs, res.state.ts
-
-
-@partial(jax.jit, static_argnames=("reassociate", "nview"))
-def _map_update(table: TrackTable, rs, ts, kmat, t, feats,
-                reassociate_px, min_depth, max_depth,
-                reassociate: bool, nview: bool):
-    """Reassociation + triangulation of new tracks as one program."""
-    n_re = jnp.int32(0)
-    if reassociate:
-        table, n_re = reassociate_to_landmarks(
-            table, t, feats.xy[t], feats.points.mask[t],
-            rs[t], ts[t], kmat, reassociate_px)
-    if nview:
-        table = _triangulate_tracks_nview(table, rs, ts, kmat,
-                                          min_depth, max_depth)
-    else:
-        first, last = first_last_observations(table)
-        table = _triangulate_tracks(table, rs, ts, kmat, first, last,
-                                    min_depth, max_depth)
-    return table, n_re
-
-
-@partial(jax.jit, static_argnames=("window", "iters"))
-def _window_ba_step(rs, ts, table: TrackTable, kmat, t, prune_px,
-                    window: int, iters: int):
-    """Windowed BA + gauge rescale + observation pruning as one program."""
-    state = BAState(rs=rs, ts=ts, points=table.points)
-    prob = BAProblem(obs=table.obs,
-                     mask=table.obs_mask & table.has_point[None, :],
-                     k=kmat)
-    f = rs.shape[0]
-    w0 = jnp.maximum(0, t + 1 - window)
-    fr = jnp.arange(f)
-    fixed = ((fr >= w0) & (fr <= t)).astype(jnp.float32)
-    fixed = fixed.at[0].set(0.0)  # SE(3) gauge
-    res = bundle_adjust(state, prob, num_iterations=iters,
-                        fixed_cameras=fixed)
-    rs, ts = res.state.rs, res.state.ts
-    table = table._replace(points=res.state.points)
-    rs, ts, table = _rescale_gauge(rs, ts, table)
-    table = _prune_observations(table, rs, ts, kmat, prune_px)
-    return rs, ts, table, res.cost
-
-
 class DeviceSfmResult:
     """Device-side result: everything still on the chip, ZERO reads taken.
 
@@ -811,46 +756,38 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
             else:
                 rs = rs.at[t].set(rs[t - 1])
                 ts = ts.at[t].set(ts[t - 1])
-            # motion-only BA on all frames so far (only camera t free)
-            if use_pm:
-                rs, ts = _motion_ba(rs, ts, table, kmat, jnp.int32(t),
-                                    iters=10)
-            else:
-                state = BAState(rs=rs, ts=ts, points=table.points)
-                prob = BAProblem(
-                    obs=table.obs,
-                    mask=table.obs_mask & table.has_point[None, :],
-                    k=kmat)
-                fixed = jnp.zeros((num_frames,)).at[t].set(1.0)
-                res = bundle_adjust(state, prob, num_iterations=10,
-                                    fixed_cameras=fixed,
-                                    optimize_points=False)
-                rs, ts = res.state.rs, res.state.ts
+            # motion-only BA on all frames so far (only camera t free).
+            # NOTE round 5: the stage stays at single-op granularity —
+            # fusing motion-BA / reassoc+triangulate / window-BA+rescale+
+            # prune into per-frame programs measured SLOWER on the chip
+            # (4.4 vs 8.5 fps: the §7 large-program serialization
+            # pathology again); only chaining and PnP, which replace
+            # many tiny dispatches, stay fused.
+            state = BAState(rs=rs, ts=ts, points=table.points)
+            prob = BAProblem(
+                obs=table.obs,
+                mask=table.obs_mask & table.has_point[None, :],
+                k=kmat)
+            fixed = jnp.zeros((num_frames,)).at[t].set(1.0)
+            res = bundle_adjust(state, prob, num_iterations=10,
+                                fixed_cameras=fixed,
+                                optimize_points=False)
+            rs, ts = res.state.rs, res.state.ts
 
             # Map-guided re-association: re-attach keypoints whose
             # consecutive-frame chain broke to the landmark tracks they
             # project onto (now that frame t's pose is estimated).
-            if config.reassociate and not use_pm:
+            if config.reassociate:
+                xy_t = cur.xy if cur is not None else feats.xy[t]
+                mask_t = (cur.points.mask if cur is not None
+                          else feats.points.mask[t])
                 table, n_re = reassociate_to_landmarks(
-                    table, jnp.int32(t), cur.xy, cur.points.mask,
+                    table, jnp.int32(t), xy_t, mask_t,
                     rs[t], ts[t], kmat, config.reassociate_px)
                 if config.collect_diagnostics:
                     info["reassociated"] = int(n_re)
 
-        if use_pm:
-            # reassociation + triangulation as one program; before the
-            # bootstrap (no poses) reassociation is skipped as before
-            table, n_re = _map_update(
-                table, rs, ts, kmat, jnp.int32(t), feats,
-                jnp.float32(config.reassociate_px),
-                config.min_depth, config.max_depth,
-                reassociate=config.reassociate
-                and info["pose_init"] != "bootstrap",
-                nview=config.nview_triangulation)
-            if config.collect_diagnostics and config.reassociate \
-                    and info["pose_init"] != "bootstrap":
-                info["reassociated"] = int(n_re)
-        elif config.nview_triangulation:
+        if config.nview_triangulation:
             table = _triangulate_tracks_nview(table, rs, ts, kmat,
                                               config.min_depth,
                                               config.max_depth)
@@ -860,47 +797,40 @@ def run_incremental_sfm(frames: np.ndarray, k: np.ndarray,
                                         config.min_depth, config.max_depth)
 
         # windowed full BA: freeze cameras before the window and frame 0/1
-        if use_pm and config.mesh is None:
-            rs, ts, table, cost_d = _window_ba_step(
-                rs, ts, table, kmat, jnp.int32(t),
-                jnp.float32(config.prune_px),
-                window=config.window, iters=config.ba_iterations)
-            costs.append(cost_d)
-        else:
-            state = BAState(rs=rs, ts=ts, points=table.points)
-            prob = BAProblem(obs=table.obs,
-                             mask=table.obs_mask & table.has_point[None, :],
-                             k=kmat)
-            w0 = max(0, t + 1 - config.window)
-            fixed = jnp.zeros((num_frames,))
-            fixed = fixed.at[jnp.arange(w0, t + 1)].set(1.0)
-            fixed = fixed.at[0].set(0.0)  # SE(3) gauge
-            if config.mesh is not None:
-                from photogrammetry_tpu.parallel.dist_ba import (
-                    distributed_bundle_adjust,
-                )
+        state = BAState(rs=rs, ts=ts, points=table.points)
+        prob = BAProblem(obs=table.obs,
+                         mask=table.obs_mask & table.has_point[None, :],
+                         k=kmat)
+        w0 = max(0, t + 1 - config.window)
+        fixed = jnp.zeros((num_frames,))
+        fixed = fixed.at[jnp.arange(w0, t + 1)].set(1.0)
+        fixed = fixed.at[0].set(0.0)  # SE(3) gauge
+        if config.mesh is not None:
+            from photogrammetry_tpu.parallel.dist_ba import (
+                distributed_bundle_adjust,
+            )
 
-                res = distributed_bundle_adjust(
-                    state, prob, config.mesh,
-                    num_iterations=config.ba_iterations, fixed_cameras=fixed)
-            else:
-                res = bundle_adjust(state, prob,
-                                    num_iterations=config.ba_iterations,
-                                    fixed_cameras=fixed)
-            rs, ts = res.state.rs, res.state.ts
-            table = table._replace(points=res.state.points)
-            # Monocular scale gauge: with only camera 0 frozen the
-            # similarity scale is a flat direction of the BA cost and long
-            # LM runs drift along it.  Rather than freezing camera 1
-            # (which would anchor its two-view pose error forever),
-            # renormalize the reconstruction about camera 0's center so
-            # the 0-1 baseline stays unit length.
-            rs, ts, table = _rescale_gauge(rs, ts, table)
-            table = _prune_observations(table, rs, ts, kmat,
-                                        config.prune_px)
-            # 0-d device scalar, NOT read here — per-frame cost readbacks
-            # cost one tunnel RTT each; converted once after the loop.
-            costs.append(res.cost)
+            res = distributed_bundle_adjust(
+                state, prob, config.mesh,
+                num_iterations=config.ba_iterations, fixed_cameras=fixed)
+        else:
+            res = bundle_adjust(state, prob,
+                                num_iterations=config.ba_iterations,
+                                fixed_cameras=fixed)
+        rs, ts = res.state.rs, res.state.ts
+        table = table._replace(points=res.state.points)
+        # Monocular scale gauge: with only camera 0 frozen the
+        # similarity scale is a flat direction of the BA cost and long
+        # LM runs drift along it.  Rather than freezing camera 1
+        # (which would anchor its two-view pose error forever),
+        # renormalize the reconstruction about camera 0's center so
+        # the 0-1 baseline stays unit length.
+        rs, ts, table = _rescale_gauge(rs, ts, table)
+        table = _prune_observations(table, rs, ts, kmat,
+                                    config.prune_px)
+        # 0-d device scalar, NOT read here — per-frame cost readbacks
+        # cost one tunnel RTT each; converted once after the loop.
+        costs.append(res.cost)
         frame_info.append(info)
         prev2, kp_track_prev2 = prev, kp_track_prev
         prev = cur

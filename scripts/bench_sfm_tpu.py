@@ -25,24 +25,28 @@ def main():
     )
 
     scene = generate_sequence(StarSceneConfig(num_frames=8, supersample=2))
-    cfg = SfmConfig()
-
-    t0 = time.perf_counter()
-    res = run_incremental_sfm(scene["frames"], scene["k"], cfg)
-    cold = time.perf_counter() - t0
-    print(f"cold run (compiles): {cold:.1f} s", flush=True)
-
-    t0 = time.perf_counter()
-    res = run_incremental_sfm(scene["frames"], scene["k"], cfg)
-    warm = time.perf_counter() - t0
     nf = len(scene["frames"])
     gt_c = -np.einsum("fji,fj->fi", scene["rs"], scene["ts"])
-    ate = float(absolute_trajectory_error(
-        np.asarray(res.camera_centers, np.float32),
-        gt_c.astype(np.float32)))
-    print(f"warm run: {warm:.2f} s for {nf} frames = "
-          f"{nf/warm:.2f} frames/s; ate={ate:.4f} "
-          f"landmarks={res.points.shape[0]}", flush=True)
+
+    for name, cfg in [
+        ("diag-off", SfmConfig(collect_diagnostics=False)),
+        ("diag-on", SfmConfig()),
+        ("diag-off oldmatch", SfmConfig(collect_diagnostics=False,
+                                        precompute_matching=False)),
+    ]:
+        t0 = time.perf_counter()
+        res = run_incremental_sfm(scene["frames"], scene["k"], cfg)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = run_incremental_sfm(scene["frames"], scene["k"], cfg)
+        warm = time.perf_counter() - t0
+        ate = float(absolute_trajectory_error(
+            np.asarray(res.camera_centers, np.float32),
+            gt_c.astype(np.float32)))
+        print(f"{name}: warm {warm:.2f} s for {nf} frames = "
+              f"{nf/warm:.2f} frames/s (cold {cold:.0f} s); "
+              f"ate={ate:.4f} landmarks={res.points.shape[0]}",
+              flush=True)
 
 
 if __name__ == "__main__":

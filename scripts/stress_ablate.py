@@ -32,10 +32,9 @@ def main(num_frames: int = 120):
     centers = np.concatenate([scene["centers"], scene["centers"][-2::-1]])
 
     variants = {
-        "pm_refine0": ["--submap-refine", "0"],
-        "oldmatch_refine0": ["--submap-refine", "0",
-                             "--no-precompute-matching"],
-        "pm_refine2": [],
+        "prior30": ["--submap-prior-weight", "30"],
+        "prior100": ["--submap-prior-weight", "100"],
+        "prior10": ["--submap-prior-weight", "10"],
     }
     L = float(np.sum(np.linalg.norm(np.diff(centers, axis=0), axis=1)))
     for name, extra in variants.items():
