@@ -428,7 +428,6 @@ def precompute_matching(feats: DescribedFrame, config: FrontendConfig,
     draws; seeds are not comparable across the two modes).
     """
     f = num_frames
-    kcap = feats.xy.shape[1]
     pairs = [(t, 1) for t in range(1, f)] + [(t, 2) for t in range(2, f)]
     idx = {(t, dt): i for i, (t, dt) in enumerate(pairs)}
     n = len(pairs)
@@ -464,7 +463,6 @@ def precompute_matching(feats: DescribedFrame, config: FrontendConfig,
 
     i1, g1, n1 = rows(1)
     i2, g2, n2 = rows(2)
-    del kcap
     return PrecompMatches(idx1=i1, good1=g1, num1=n1,
                           idx2=i2, good2=g2, num2=n2)
 

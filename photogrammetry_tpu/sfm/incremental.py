@@ -120,18 +120,17 @@ class SfmConfig:
     # parallax starts, and more parallax (not less) when it differs.
     read_free: bool = False
     # Sequence-level batched matching + epipolar gating
-    # (frontend.precompute_matching) and fused per-frame stage programs:
-    # the round-4 loop dispatched ~20 programs per steady frame (2
-    # matches, 2 RANSAC gates, ~8 eager glue ops, 6 stages) and the
-    # tunnel runtime charges a full synchronous round-trip per program —
-    # measured 9.8 fps where the device work supports far more (round-5
-    # measurement: async/zero-read dispatch is ~2.6x SLOWER per program,
-    # so fewer-programs is the only lever).  This mode precomputes all
-    # (t, t-1) and (t, t-2) matches+gates as a few batched programs and
-    # runs each steady frame as 5 fused programs (chain|PnP|motion-BA|
-    # map-update|window-BA).  RNG: gate keys come from fold_in streams,
-    # so seeds are not comparable with the staged-draw mode.
-    precompute_matching: bool = True
+    # (frontend.precompute_matching): all (t, t-1)/(t, t-2) matches+gates
+    # as a few batched programs, with chaining and PnP+pose fused — ~7
+    # fewer dispatches per steady frame.  Measured on the chip it TIES
+    # the sequential-draw loop (8.52 vs 8.47 fps diag-off: the removed
+    # dispatches' device work just moves into the precompute) while
+    # costing ~10x the cold executable-load time, and its fold_in gate
+    # streams land in a different RANSAC basin family than the
+    # seed-calibrated defaults.  Default OFF; turn on for workloads where
+    # per-dispatch cost dominates device work (e.g. higher-RTT links).
+    # RNG: seeds are not comparable across the two modes.
+    precompute_matching: bool = False
     # Multi-scale pyramid frontend (frontend.detect_and_describe_*_pyramid):
     # octaves > 1 detects/describes on power-of-two scales and merges, so
     # features survive apparent-scale changes up to ~2^(octaves-1)

@@ -268,7 +268,7 @@ def run_submap_sfm(frames: np.ndarray, k: np.ndarray,
                    submap_frames: int = 16, overlap: int = 4,
                    seed: int = 0, restarts: int = 3,
                    pose_graph_iterations: int = 15,
-                   global_refine_rounds: int = 2,
+                   global_refine_rounds: int = 0,
                    global_track_capacity: int = 4096) -> SubmapResult:
     """frames (F, H, W) -> stitched trajectory + merged cloud.
 
